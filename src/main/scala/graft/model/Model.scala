@@ -1,0 +1,88 @@
+package graft.model
+
+/** Core data model for the graft crawl/curation engine.
+  *
+  * The shapes mirror the reference's record types (see SURVEY.md §1):
+  *  - [[Span]] / [[Doc]]: the interleaved text+media element stream the reference
+  *    consumes from Adobe's PDF-extract JSON (`src/segregators/adobe_json.py:26-61`,
+  *    `src/extractors/adobe.py:65-93`), pinned to the input-hint schema
+  *    `(doc_id string, spans array<struct<kind,text,media_ref,offset>>)`.
+  *  - [[FrontierEntry]]: per-URL crawl state, synthesized from the reference's
+  *    `search_params` loop state (`src/pipeline/search_and_scrape.py:165,246-253`)
+  *    and per-URL download state (`src/retrievers/base.py:34-46`).
+  *  - [[Paragraph]]: the segregated paragraph unit
+  *    (`src/segregators/adobe_json.py:48-54`).
+  */
+final case class Span(
+    kind: String,      // 'text' | 'heading' | 'table' | 'image'
+    text: String,      // null for kind='image'
+    media_ref: String, // null except kind='image'
+    offset: Int        // reading-order index, 0-based, dense
+)
+
+final case class Doc(doc_id: String, spans: Seq[Span])
+
+/** One frontier row. `priority` sorts ascending (lower = sooner), matching the
+  * reference's strict court→query→page→row order (`search_and_scrape.py:145-159`).
+  */
+final case class FrontierEntry(
+    url: String,
+    canonical_url: String,
+    url_hash: Long,
+    host: String,
+    court: String,
+    query: String,
+    page: Int,
+    depth: Int,
+    priority: Long,
+    status: String, // pending | fetched | failed | deferred
+    retry_count: Int,
+    discovered_round: Int
+)
+
+/** Judgment metadata row parsed from a listing page
+  * (`src/retrievers/delhi_high_court.py:55-60`). */
+final case class Judgment(
+    court: String,
+    query: String,
+    page: Int,
+    rank: Int, // row order within the page
+    case_number: String,
+    title: String,
+    date: String,
+    document_href: String
+)
+
+final case class Paragraph(
+    doc_id: String,
+    extractor: String,
+    page: Int,
+    paragraph_number: Int,
+    content: String,
+    reference: String // starter numeral, spaces removed, e.g. "1.2."; null if none
+)
+
+/** Per-round, per-partition crawl metrics (north rule: per-partition lineage +
+  * metrics; analog of the reference's phase counters,
+  * `search_and_scrape.py:210-214,238-241`). */
+final case class RoundMetrics(
+    round: Int,
+    partition_id: Int,
+    host: String,
+    fetched: Long,
+    deferred: Long,
+    failed: Long,
+    dup_url: Long,
+    novel: Long
+)
+
+/** Crawl configuration. `budgetPerHost` is the per-round politeness budget per
+  * host (analog of the reference's 25 req/min Adobe limit,
+  * `AdobePDFExtractAPI.md:37`). */
+final case class CrawlConfig(
+    maxDepth: Int = 3,
+    budgetPerHost: Int = 64,
+    maxRetries: Int = 3,     // `src/extractors/adobe.py:111-138`
+    numPartitions: Int = 32,
+    saltMax: Int = 8         // max salt buckets for a dominant host
+)

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.model._
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Span-stream rendering (reference P11, `/root/reference/src/extractors/adobe.py:63-93`),
+  * paragraph segregation (W1, `src/segregators/adobe_json.py:23-63`) and the
+  * sentence/word-count paragraph filter (P7/P8, `src/filters/sent_count_filter.py:31-57`).
+  *
+  * All per-document: `spans` is a nested array, so rendering is a columnar
+  * `filter`/`transform`/`array_join` over the array — zero shuffle — and the
+  * stateful paragraph fold is a typed `flatMap` per row (also zero shuffle).
+  * The relational window variant of the fold exists as a cross-check in
+  * SparkEntry ("q_w1_relational").
+  */
+object Segregate {
+
+  /** The paragraph-starter regex (`adobe_json.py:28`): optional space-class
+    * chars, digits, space-class, a dot. Java regex with UNICODE flags. */
+  val StarterRegex = "^(?U)\\p{Z}*\\p{N}+\\p{Z}*\\."
+  /** Leading numeral chain, e.g. "1. 2." → reference field (`adobe_json.py:44-47`). */
+  val ReferenceRegex = "^((?:(?U)\\p{N}+\\p{Z}*\\.)+)"
+
+  private val starterPattern = StarterRegex.r
+  private val referencePattern = ReferenceRegex.r
+
+  // ---------- renderings (the "extractors" of our engine, SURVEY.md S9) ----------
+
+  /** Names in declared order — D3 chaining is order-sensitive
+    * (`src/pipeline/process.py:114-122`). */
+  val RenderingNames: Seq[String] = Seq("plain", "nodigits", "marked")
+
+  /** Plain text: text+heading spans joined with "\n\n", tables skipped
+    * (`adobe.py:63-74`). */
+  def renderPlain(spans: Column): Column =
+    array_join(
+      transform(
+        filter(spans, s => s("kind") === "text" || s("kind") === "heading"),
+        s => s("text")),
+      "\n\n")
+
+  /** Digit-stripped rendering — collides docs differing only in serials. */
+  def renderNoDigits(spans: Column): Column =
+    regexp_replace(renderPlain(spans), "(?U)\\p{N}+", "")
+
+  /** Layout-marked rendering (the reference's "processed" variant,
+    * `adobe.py:76-93`): Heading/Paragraph marker lines injected. */
+  def renderMarked(spans: Column): Column =
+    array_join(
+      transform(
+        filter(spans, s => s("kind") === "text" || s("kind") === "heading"),
+        s => when(s("kind") === "heading", concat(lit("[Heading]\n"), s("text")))
+          .otherwise(when(s("text").rlike(StarterRegex), concat(lit("[Paragraph]\n"), s("text")))
+            .otherwise(s("text")))),
+      "\n\n")
+
+  def rendering(name: String, spans: Column): Column = name match {
+    case "plain"    => renderPlain(spans)
+    case "nodigits" => renderNoDigits(spans)
+    case "marked"   => renderMarked(spans)
+    case other      => throw new IllegalArgumentException(s"unknown rendering $other")
+  }
+
+  // ---------- W1: paragraph segregation ----------
+
+  /** The exact fold of `adobe_json.py:23-63`, per doc:
+    *  - table spans are skipped entirely;
+    *  - a heading ends any open paragraph WITHOUT emitting it (content reset,
+    *    `valid_content=False` until the next starter) and advances the page
+    *    bookkeeping — in our span model "page change" is approximated by
+    *    heading spans (the synthetic corpus is single-page per doc);
+    *  - a starter text span ("1.", "2." …) first emits the accumulated
+    *    paragraph, then starts a new one; its numeral chain becomes
+    *    `reference` (spaces stripped) and is removed from the content head;
+    *  - non-starter text is appended only while a paragraph is open;
+    *  - **the trailing open paragraph is never flushed** — the reference
+    *    drops it (no final emit in `adobe_json.py:33-61`) and we preserve the
+    *    quirk bit-for-bit;
+    *  - paragraphs are numbered sequentially from 1; `page` = pageStart + 1
+    *    (Adobe pages are 0-based, `adobe_json.py:49-50`).
+    *
+    * Pure Scala, applied via typed flatMap in [[paragraphs]].
+    */
+  def segregateDoc(docId: String, extractor: String, spans: Seq[Span]): Seq[Paragraph] = {
+    val out = Vector.newBuilder[Paragraph]
+    var content = Vector.empty[String]
+    var reference: String = null
+    var open = false
+    var pageStart = 0
+    var page = 0
+    var seq = 0
+    spans.sortBy(_.offset).foreach { sp =>
+      sp.kind match {
+        case "table" | "image" => // skipped (adobe_json.py:35-37; images carry no text)
+        case "heading" =>
+          open = false; content = Vector.empty; reference = null
+          page += 1 // heading ≈ page/section advance in the synthetic model
+        case "text" if sp.text != null =>
+          val isStarter = starterPattern.findFirstIn(sp.text).isDefined
+          if (isStarter) {
+            if (open && content.nonEmpty) {
+              seq += 1
+              out += Paragraph(docId, extractor, pageStart + 1, seq,
+                content.mkString(" ").trim, reference)
+            }
+            val m = referencePattern.findFirstMatchIn(sp.text)
+            reference = m.map(_.group(1).replaceAll("(?U)\\p{Z}+", "")).orNull
+            val stripped = m.map(mm => sp.text.substring(mm.end)).getOrElse(sp.text)
+            content = Vector(stripped.trim)
+            pageStart = page
+            open = true
+          } else if (open) {
+            content = content :+ sp.text
+          }
+        case _ => // null-text text span: ignore
+      }
+    }
+    // no final flush — trailing paragraph intentionally dropped (see doc above)
+    out.result()
+  }
+
+  /** Paragraphs of every doc under every rendering-extractor. Only the "plain"
+    * extractor has a segregator binding (mirrors the reference where only
+    * adobe_api has one, `src/pipeline/segregate.py:31-36`). */
+  def paragraphs(docs: Dataset[Doc]): Dataset[Paragraph] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => segregateDoc(d.doc_id, "plain", d.spans))
+  }
+
+  // ---------- P7/P8: sentence/word-count filter ----------
+
+  /** Sentence count via regex boundary split (declared deviation from NLTK
+    * punkt — FIXTURES.md §5): boundaries are [.!?]+ followed by whitespace. */
+  def sentenceCount(content: Column): Column =
+    size(filter(split(content, "[.!?]+(\\s+|$)"), s => length(trim(s)) > 0))
+
+  /** English stopword list (fixed, small — the filter only needs a ratio). */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "for", "with", "by",
+    "at", "from", "as", "is", "are", "was", "were", "be", "been", "it", "its",
+    "this", "that", "these", "those", "he", "she", "they", "we", "his", "her",
+    "their", "our", "not", "no", "nor", "but", "if", "then", "than", "so",
+    "such", "very", "can", "will", "shall", "may", "would", "should", "could",
+    "has", "have", "had", "do", "does", "did", "there", "here", "when", "where",
+    "which", "who", "whom", "what", "how", "all", "any", "both", "each", "into",
+    "through", "during", "before", "after", "above", "below", "up", "down",
+    "out", "off", "over", "under", "again", "further", "once", "own", "same")
+
+  /** Content words: alphabetic tokens not in the stopword list
+    * (`sent_count_filter.py:46-52`). */
+  def contentWordCount(content: Column): Column = {
+    val words = split(lower(content), "[^\\p{L}]+")
+    size(filter(words, w => length(w) > 0 && !w.isin(Stopwords.map(lit): _*)))
+  }
+
+  /** Keep iff sentences >= minSents OR content words >= minWords (defaults
+    * 3/30, `sent_count_filter.py:31-37,54-57`). */
+  def sentCountFilter(paras: DataFrame, minSents: Int = 3, minWords: Int = 30): DataFrame =
+    paras.filter(
+      sentenceCount(col("content")) >= minSents ||
+        contentWordCount(col("content")) >= minWords)
+}

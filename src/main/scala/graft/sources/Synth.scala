@@ -1,0 +1,342 @@
+package graft.sources
+
+import graft.model._
+
+/** Deterministic synthetic crawl universe (zero egress — no wall clock, no
+  * external randomness). Everything is a pure function of a 64-bit mix of the
+  * global seed and the entity's key, so any URL's fetch result is computable
+  * inside any task without coordination, and the 10^10-URL frontier shape is
+  * never materialized — URLs are generated on demand.
+  *
+  * The universe mirrors the reference's crawl graph
+  * (`/root/reference/src/pipeline/search_and_scrape.py:138-317`):
+  *   listing page (court,query,page) → judgment rows with intermediate doc-page
+  *   hrefs (carrying a junk `ID=` session param, cf. `preprocess.py:34-48`) →
+  *   doc page resolves to the real PDF URL
+  *   (`src/retrievers/delhi_high_court.py:64-77`) → PDF fetch yields the
+  *   interleaved span stream (`src/segregators/adobe_json.py:26-61` shape).
+  *
+  * Planted duplicates at all three reference dedup levels:
+  *   D1: case-number space < row space → repeated case numbers across pages;
+  *       href space < case space → same canonical URL under different cases.
+  *   D2: content space < file space → distinct PDFs with identical bytes.
+  *   D3: base-text space < content space → contents that collide only under
+  *       the digit-stripping rendering.
+  */
+object Rng {
+  // 64-bit avalanche mix (splitmix64 finalizer — public-domain constant set).
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def mix(seed: Long, ks: Long*): Long = ks.foldLeft(mix64(seed))((a, k) => mix64(a ^ k))
+  def mixStr(seed: Long, s: String): Long = {
+    var h = mix64(seed)
+    var i = 0
+    while (i < s.length) { h = mix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+  /** Uniform in [0, n) from a mixed value. */
+  def bounded(h: Long, n: Long): Long = java.lang.Long.remainderUnsigned(h, n)
+}
+
+final case class SynthConfig(
+    seed: Long = 42L,
+    courts: Int = 2,
+    queriesPerCourt: Int = 4,
+    pagesPerQuery: Int = 8,
+    rowsPerPage: Int = 12,
+    /** fraction of rows whose case number repeats an earlier one (D1-case) */
+    caseDupRate: Double = 0.10,
+    /** fraction of cases sharing a doc href with another case (D1-url → merge) */
+    urlDupRate: Double = 0.06,
+    /** fraction of files sharing identical content (D2) */
+    contentDupRate: Double = 0.08,
+    /** fraction of contents colliding under the digit-stripping rendering (D3) */
+    renderDupRate: Double = 0.08,
+    /** transient fetch failure rate per attempt (retried next round, C3) */
+    failRate: Double = 0.03,
+    mirrorHosts: Int = 16
+) {
+  val totalRows: Long = courts.toLong * queriesPerCourt * pagesPerQuery * rowsPerPage
+  val caseSpace: Long = math.max(1L, (totalRows * (1.0 - caseDupRate)).toLong)
+  val fileSpace: Long = math.max(1L, (caseSpace * (1.0 - urlDupRate)).toLong)
+  val contentSpace: Long = math.max(1L, (fileSpace * (1.0 - contentDupRate)).toLong)
+  val baseSpace: Long = math.max(1L, (contentSpace * (1.0 - renderDupRate)).toLong)
+}
+
+/** Synthetic URL space + page/content generators + the fetch simulator. */
+object Synth {
+
+  val QueriesPool: Vector[String] = Vector(
+    "trade marks", "copyright", "patent", "arbitration",
+    "income tax", "land acquisition", "service matter", "bail")
+
+  private val Vocab: Array[String] =
+    ("the court held that petitioner respondent order dated learned counsel " +
+      "submitted judgment appeal section act provisions matter present case " +
+      "application filed record perusal aforesaid view facts circumstances " +
+      "accordingly disposed directions issued notice reply written statement " +
+      "evidence witness examined cross document exhibit marked trial suit " +
+      "decree plaintiff defendant injunction restrained mark trade business " +
+      "goods services registration infringement passing off damages rendition " +
+      "accounts delivery costs interest pendente lite satisfied prima facie " +
+      "balance convenience irreparable loss grant refuse vacate confirm modify").split(' ')
+
+  def courtName(c: Int): String = if (c == 0) "DHC" else s"SC$c"
+  def courtHost(c: Int): String = s"courts-${courtName(c).toLowerCase}.example.org"
+
+  def queryOf(cfg: SynthConfig, q: Int): String = QueriesPool(q % QueriesPool.length)
+
+  // ---- URL construction / parsing (string ops only — hot path) ----
+
+  def listingUrl(c: Int, q: Int, page: Int): String =
+    s"https://${courtHost(c)}/search?query=${queryOf(null, q).replace(' ', '+')}&qid=$q&page=$page"
+
+  /** Doc-page href as it appears in a listing — carries a junk ID= param that
+    * varies per (page,rank) discovery so canonicalization is load-bearing. */
+  def docPageHref(cfg: SynthConfig, c: Int, caseId: Long, junk: Long): String =
+    s"https://${courtHost(c)}/view?case=$caseId&ID=${java.lang.Long.toUnsignedString(junk)}"
+
+  def docPageCanonical(c: Int, caseId: Long): String =
+    s"https://${courtHost(c)}/view?case=$caseId"
+
+  def pdfUrl(cfg: SynthConfig, c: Int, fileId: Long): String = {
+    // ~1/8 of PDFs live on a rare mirror host (Zipf tail); the rest share the
+    // court's single dominant host — the skew the salted partitioner must absorb.
+    val h = Rng.mix(cfg.seed, 0xF11EL, c.toLong, fileId)
+    val host =
+      if (Rng.bounded(h, 8) == 0L) s"mirror-${Rng.bounded(Rng.mix64(h), cfg.mirrorHosts.toLong)}.example.org"
+      else courtHost(c)
+    s"https://$host/pdf/$fileId.pdf"
+  }
+
+  sealed trait ParsedUrl
+  final case class ListingUrl(court: Int, qid: Int, page: Int) extends ParsedUrl
+  final case class DocPageUrl(court: Int, caseId: Long) extends ParsedUrl
+  final case class PdfUrl(court: Int, fileId: Long) extends ParsedUrl
+  case object UnknownUrl extends ParsedUrl
+
+  private def param(url: String, name: String): Option[String] = {
+    val qi = url.indexOf('?')
+    if (qi < 0) None
+    else url.substring(qi + 1).split('&').iterator
+      .map(_.split("=", 2)).collectFirst { case Array(`name`, v) => v }
+  }
+
+  def courtOfHost(url: String): Int = {
+    val i = url.indexOf("courts-")
+    if (i < 0) -1
+    else {
+      val rest = url.substring(i + 7, url.indexOf('.', i))
+      if (rest == "dhc") 0 else scala.util.Try(rest.stripPrefix("sc").toInt).getOrElse(-1)
+    }
+  }
+
+  def parseUrl(url: String): ParsedUrl = {
+    if (url.contains("/search?")) {
+      (param(url, "qid"), param(url, "page")) match {
+        case (Some(q), Some(p)) => ListingUrl(courtOfHost(url), q.toInt, p.toInt)
+        case _ => UnknownUrl
+      }
+    } else if (url.contains("/view?")) {
+      param(url, "case") match {
+        case Some(cc) => DocPageUrl(courtOfHost(url), cc.toLong)
+        case None => UnknownUrl
+      }
+    } else if (url.contains("/pdf/")) {
+      val i = url.indexOf("/pdf/") + 5
+      val j = url.indexOf(".pdf", i)
+      if (j < 0) UnknownUrl
+      else {
+        // mirror-hosted PDFs: recover court from fileId mapping (court is not
+        // in the mirror hostname), encoded in the low bit of fileId.
+        val fid = url.substring(i, j).toLong
+        PdfUrl((fid % 64).toInt, fid) // fileId = rawFile*64 + court-tag; see fileIdOf
+      }
+    } else UnknownUrl
+  }
+
+  // ---- Entity derivations (the planted-duplicate arithmetic) ----
+
+  /** Global row index of (court, query, page, rank). */
+  def rowIndex(cfg: SynthConfig, c: Int, q: Int, page: Int, rank: Int): Long =
+    ((c.toLong * cfg.queriesPerCourt + q) * cfg.pagesPerQuery + (page - 1)) * cfg.rowsPerPage + rank
+
+  /** Case id for a listing row — collides at rate caseDupRate. */
+  def caseIdOf(cfg: SynthConfig, c: Int, q: Int, page: Int, rank: Int): Long = {
+    val ri = rowIndex(cfg, c, q, page, rank)
+    val h = Rng.mix(cfg.seed, 0xCA5EL, ri)
+    c.toLong * cfg.caseSpace * 2 + Rng.bounded(h, cfg.caseSpace) // court-disjoint case spaces
+  }
+
+  /** File id for a case — collides (same canonical URL for different cases is
+    * modeled at the docpage level; same *file* for different cases at this
+    * level). Low 6 bits tag the court so mirror-hosted PDF URLs stay parseable. */
+  def fileIdOf(cfg: SynthConfig, c: Int, caseId: Long): Long = {
+    val raw = Rng.bounded(Rng.mix(cfg.seed, 0xF17EL, caseId), cfg.fileSpace)
+    raw * 64 + c.toLong
+  }
+
+  def contentIdOf(cfg: SynthConfig, fileId: Long): Long =
+    Rng.bounded(Rng.mix(cfg.seed, 0xC0DEL, fileId / 64), cfg.contentSpace)
+
+  def baseIdOf(cfg: SynthConfig, contentId: Long): Long =
+    Rng.bounded(Rng.mix(cfg.seed, 0xBA5EL, contentId), cfg.baseSpace)
+
+  def caseNumber(cfg: SynthConfig, c: Int, caseId: Long): String = {
+    val n = Rng.bounded(Rng.mix(cfg.seed, 0x11L, caseId), 99999L) + 1
+    val yr = 2010 + Rng.bounded(Rng.mix(cfg.seed, 0x12L, caseId), 13L)
+    s"${courtName(c)} $n/$yr"
+  }
+
+  private def words(h0: Long, n: Int): String = {
+    val sb = new StringBuilder
+    var h = h0
+    var i = 0
+    while (i < n) {
+      h = Rng.mix64(h)
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab((Rng.bounded(h, Vocab.length.toLong)).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def titleOf(cfg: SynthConfig, caseId: Long): String = {
+    val h = Rng.mix(cfg.seed, 0x717L, caseId)
+    words(h, 3 + (Rng.bounded(h, 4L)).toInt).toUpperCase + " VS " +
+      words(Rng.mix64(h ^ 0x5AL), 2 + (Rng.bounded(h, 3L)).toInt).toUpperCase
+  }
+
+  def dateOf(cfg: SynthConfig, caseId: Long): String = {
+    val h = Rng.mix(cfg.seed, 0xDA7EL, caseId)
+    val yr = 2010 + Rng.bounded(h, 13L)
+    val mo = 1 + Rng.bounded(Rng.mix64(h), 12L)
+    val dy = 1 + Rng.bounded(Rng.mix64(h ^ 1), 28L)
+    f"$yr%04d-$mo%02d-$dy%02d"
+  }
+
+  // ---- Content (interleaved span stream) ----
+
+  /** Spans of a document. Structure mirrors the Adobe element stream observed
+    * in the reference's `dumps/structuredData.json` (252 Text / 26 Image / 60
+    * table-structure elements over 338): a heading, then numbered paragraphs
+    * of 1-3 text spans, with occasional image and table spans interleaved.
+    * The digits in the text derive from contentId while the words derive from
+    * baseId — so the digit-stripping rendering collides contents that share a
+    * baseId (the D3 plant).
+    */
+  def spansOf(cfg: SynthConfig, contentId: Long): Vector[Span] = {
+    val baseId = baseIdOf(cfg, contentId)
+    val hw = Rng.mix(cfg.seed, 0x59A1L, baseId)  // words keyed by baseId
+    val hn = Rng.mix(cfg.seed, 0x59A2L, contentId) // digits/layout keyed by contentId
+    val nParas = 3 + Rng.bounded(hw, 6L).toInt
+    val out = Vector.newBuilder[Span]
+    var off = 0
+    def add(kind: String, text: String, media: String): Unit = {
+      out += Span(kind, text, media, off); off += 1
+    }
+    add("heading", s"IN THE HIGH COURT OF ${words(hw ^ 0x1, 2).toUpperCase}", null)
+    var p = 0
+    var himg = hn
+    while (p < nParas) {
+      val hp = Rng.mix64(hw ^ (0x100L + p))
+      val nSpansInPara = 1 + Rng.bounded(hp, 3L).toInt
+      val serial = Rng.bounded(Rng.mix64(hn ^ p), 9000L) + 100 // contentId-dependent digits
+      add("text", s"${p + 1}. " + words(hp ^ 0x2, 18 + Rng.bounded(hp, 20L).toInt) +
+        s" vide order no $serial", null)
+      var s = 1
+      while (s < nSpansInPara) {
+        add("text", words(Rng.mix64(hp ^ (0x200L + s)), 12 + Rng.bounded(hp ^ s, 14L).toInt), null)
+        s += 1
+      }
+      // ~1/4 of paragraphs followed by an image, ~1/5 by a table-structure span
+      himg = Rng.mix64(himg)
+      if (Rng.bounded(himg, 4L) == 0L)
+        add("image", null, s"fig_${contentId}_$p")
+      if (Rng.bounded(Rng.mix64(himg ^ 0x7L), 5L) == 0L)
+        add("table", null, null)
+      p += 1
+    }
+    out.result()
+  }
+
+  def docIdOf(c: Int, fileId: Long): String = s"${courtName(c)}/$fileId"
+
+  // ---- Fetch simulation ----
+
+  final case class Discovered(
+      url: String, court: String, query: String, page: Int, depth: Int,
+      priority: Long, // total crawl order: court,query,page,rank packed
+      caseNumber: String, title: String, date: String, rank: Int)
+
+  final case class FetchOut(
+      status: String, // ok | fail
+      kind: String,   // listing | docpage | pdf | unknown
+      discovered: Seq[Discovered],
+      doc: Option[Doc],
+      bytes: Long,
+      latencyMicros: Long)
+
+  def priorityOf(c: Int, q: Int, page: Int, rank: Int, depth: Int): Long =
+    (c.toLong << 56) | (q.toLong << 44) | (page.toLong << 24) | (rank.toLong << 8) | depth.toLong
+
+  /** Transient failure: deterministic in (url, attempt); always succeeds by
+    * attempt 2 so maxRetries=3 (reference `adobe.py:111-138`) converges. */
+  def failsAt(cfg: SynthConfig, url: String, attempt: Int): Boolean =
+    attempt < 2 && Rng.bounded(Rng.mixStr(cfg.seed ^ 0xFA11L, url) ^ attempt.toLong, 1000L) < (cfg.failRate * 1000).toLong
+
+  /** The simulator: pure function (cfg, url, attempt) → result. */
+  def fetch(cfg: SynthConfig, url: String, attempt: Int): FetchOut = {
+    val lat = 200 + Rng.bounded(Rng.mixStr(cfg.seed ^ 0x1A7L, url), 1800L) // 0.2-2ms simulated
+    if (failsAt(cfg, url, attempt))
+      return FetchOut("fail", "unknown", Nil, None, 0L, lat)
+    parseUrl(url) match {
+      case ListingUrl(c, q, page) if c >= 0 && c < cfg.courts && page >= 1 && page <= cfg.pagesPerQuery =>
+        val query = queryOf(cfg, q)
+        val rows = (0 until cfg.rowsPerPage).map { rank =>
+          val caseId = caseIdOf(cfg, c, q, page, rank)
+          val junk = Rng.mix(cfg.seed, 0x1DL, rowIndex(cfg, c, q, page, rank)) // per-discovery junk
+          Discovered(docPageHref(cfg, c, caseId, junk), courtName(c), query, page, 1,
+            priorityOf(c, q, page, rank, 1),
+            caseNumber(cfg, c, caseId), titleOf(cfg, caseId), dateOf(cfg, caseId), rank)
+        }
+        val next =
+          if (page < cfg.pagesPerQuery)
+            Seq(Discovered(listingUrl(c, q, page + 1), courtName(c), query, page + 1, 0,
+              priorityOf(c, q, page + 1, 0, 0), null, null, null, -1))
+          else Nil
+        FetchOut("ok", "listing", rows ++ next, None, 4096L + rows.size * 512L, lat)
+      case DocPageUrl(c, caseId) =>
+        val fid = fileIdOf(cfg, c, caseId)
+        // the reference resolves the intermediate page via regex + netloc rewrite
+        // (`delhi_high_court.py:64-77`); here the resolved URL is the pdf.
+        // priority = -1 means "inherit from the parent frontier entry" — the
+        // crawler replaces it with parent.priority|depth so crawl order stays
+        // the reference's strict court→query→page→row total order.
+        val d = Discovered(pdfUrl(cfg, c, fid), courtName(c), null, -1, 2,
+          -1L, null, null, null, -1)
+        FetchOut("ok", "docpage", Seq(d), None, 2048L, lat)
+      case PdfUrl(c, fid) =>
+        val contentId = contentIdOf(cfg, fid)
+        val spans = spansOf(cfg, contentId)
+        val bytes = spans.map(s => Option(s.text).map(_.length.toLong).getOrElse(256L)).sum
+        FetchOut("ok", "pdf", Nil, Some(Doc(docIdOf(c, fid), spans)), bytes, lat)
+      case _ => FetchOut("fail", "unknown", Nil, None, 0L, lat)
+    }
+  }
+
+  /** Seed frontier: page-1 listing URL per (court, query). */
+  def seedEntries(cfg: SynthConfig): Seq[FrontierEntry] =
+    for {
+      c <- 0 until cfg.courts
+      q <- 0 until cfg.queriesPerCourt
+    } yield {
+      val u = listingUrl(c, q, 1)
+      FrontierEntry(u, u, 0L, courtHost(c), courtName(c), queryOf(cfg, q), 1, 0,
+        priorityOf(c, q, 1, 0, 0), "pending", 0, 0)
+    }
+}

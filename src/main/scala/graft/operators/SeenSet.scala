@@ -70,9 +70,14 @@ object SeenSet {
         }
         byBucket.foreach { case (b, f) => atomicWrite(bucketFile(dir, b), f) }
       }
-    // bloom over the full set (broadcast side) — fixed shape for mergeability
-    val bloom = seen.stat.bloomFilter("url_hash", BloomExpectedItems, BloomFpp)
-    writeBloom(dir, bloom)
+    // bloom over the full set (broadcast side) — fixed shape for mergeability.
+    // stat.bloomFilter NPEs on empty input; an absent bloom file is the
+    // correct representation of "nothing seen" (filterNovel falls back to the
+    // cuckoo/exact path, which is exact on empty state).
+    if (total > 0 && !seen.isEmpty) {
+      val bloom = seen.stat.bloomFilter("url_hash", BloomExpectedItems, BloomFpp)
+      writeBloom(dir, bloom)
+    }
   }
 
   private def writeBloom(dir: String, bloom: BloomFilter): Unit = {
@@ -89,6 +94,7 @@ object SeenSet {
     * re-fetches. Delta blooms are built distributed (`stat.bloomFilter`) with
     * the fixed shape above and merged in the driver. */
   def addToBloom(newKeys: DataFrame, dir: String): Unit = {
+    if (newKeys.isEmpty) return // stat.bloomFilter NPEs on empty input
     Files.createDirectories(Paths.get(dir))
     val delta = newKeys.stat.bloomFilter("url_hash", BloomExpectedItems, BloomFpp)
     val merged = loadBloom(dir) match {
@@ -120,6 +126,7 @@ object SeenSet {
   }
 
   private def atomicWrite(p: Path, f: CuckooFilter): Unit = {
+    Files.createDirectories(p.getParent)
     val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
     val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(tmp)))
     try f.serialize(out) finally out.close()

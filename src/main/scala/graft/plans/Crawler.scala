@@ -115,7 +115,15 @@ object Crawler {
     var frontier: Dataset[FrontierEntry] =
       Snapshots.readLatest(spark, workDir, FrontierTable)
         .map(_.as[FrontierEntry])
-        .getOrElse(Synth.seedEntries(synthCfg).toDS())
+        .getOrElse {
+          // seeds go through the same canonicalize/hash pass as discoveries
+          Synth.seedEntries(synthCfg).toDS().toDF()
+            .withColumn("canonical_url", Urls.canonicalize($"url"))
+            .withColumn("url_hash", Urls.urlHash($"canonical_url"))
+            .withColumn("host", Urls.host($"url"))
+            .select(spark.emptyDataset[FrontierEntry].columns.map(col): _*)
+            .as[FrontierEntry]
+        }
 
     val reports = Seq.newBuilder[RoundReport]
     var round = startRound

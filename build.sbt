@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode executor == driver JVM: size for 32 threads × wide rows
+  // (the sandbox has 128 GiB; 8g causes GC thrash at local[32]).
+  // Xms == Xmx: G1's commit/uncommit + page-zeroing cycles under a growing
+  // heap measured 3-5× CPU inflation at local[32]; a pinned heap avoids them.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
+  // throughput collector: this is a batch engine; G1's pause-time goal costs
+  // ~15-25% on the allocation-heavy nested-row paths
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
 )

@@ -308,8 +308,8 @@ object SparkEntry {
     "q_rendering_dedup" -> ((s, dir) => {
       val docs = synthDocs(s)
       val hashed = Dedup.withStagedHashes(docs)
-      val (kept, _) = Dedup.contentDedup(hashed, None, Seq(col("doc_id")))
-      val (survivors, _) = Dedup.renderingDedup(
+      val kept = Dedup.contentDedup(hashed, None, Seq(col("doc_id")))
+      val survivors = Dedup.renderingDedup(
         kept, Segregate.RenderingNames, None, Seq(col("doc_id")))
       survivors.select(col("doc_id"), col("sz"), col("content_hash"))
     }),

@@ -84,5 +84,9 @@ final case class CrawlConfig(
     budgetPerHost: Int = 64,
     maxRetries: Int = 3,     // `src/extractors/adobe.py:111-138`
     numPartitions: Int = 32,
-    saltMax: Int = 8         // max salt buckets for a dominant host
+    saltMax: Int = 8,        // max salt buckets for a dominant host
+    /** pre-shuffle the D1 probe by cuckoo bucket: true on a real cluster
+      * (per-executor filter locality), false in local mode (one shared JVM
+      * cache — the shuffle would be pure overhead). See SeenSet.markDupes. */
+    probeRepartition: Boolean = false
 )

@@ -42,7 +42,7 @@ object SeenSet {
     * fpp degrades gracefully (more rows take the cuckoo/exact path — never a
     * correctness issue). At true 10^10 scale this becomes a bloom *per key
     * range* with the same fixed shape per shard. */
-  val BloomExpectedItems: Long = 1L << 22
+  val BloomExpectedItems: Long = 1L << 20
   val BloomFpp: Double = 0.01
 
   private def bucketFile(dir: String, b: Int): Path = Paths.get(dir, f"bucket-$b%05d.cuckoo")
@@ -56,7 +56,7 @@ object SeenSet {
     Files.createDirectories(Paths.get(dir))
     val spark = seen.sparkSession
     import spark.implicits._
-    val total = math.max(1L, seen.count())
+    val total = seen.count()
     val perBucket = math.max(64L, total / buckets * 2)
     seen.select(col("url_hash").cast("long"))
       .repartition(buckets, pmod(col("url_hash"), lit(buckets)))
@@ -74,7 +74,7 @@ object SeenSet {
     // stat.bloomFilter NPEs on empty input; an absent bloom file is the
     // correct representation of "nothing seen" (filterNovel falls back to the
     // cuckoo/exact path, which is exact on empty state).
-    if (total > 0 && !seen.isEmpty) {
+    if (total > 0) {
       val bloom = seen.stat.bloomFilter("url_hash", BloomExpectedItems, BloomFpp)
       writeBloom(dir, bloom)
     }
@@ -93,10 +93,14 @@ object SeenSet {
     * novel* and bypasses the cuckoo/exact path, so a stale bloom would cause
     * re-fetches. Delta blooms are built distributed (`stat.bloomFilter`) with
     * the fixed shape above and merged in the driver. */
+  /** Callers must not pass an empty frame (stat.bloomFilter NPEs on empty
+    * input) — the crawler gates on the committed delta's footer count. */
   def addToBloom(newKeys: DataFrame, dir: String): Unit = {
-    if (newKeys.isEmpty) return // stat.bloomFilter NPEs on empty input
     Files.createDirectories(Paths.get(dir))
-    val delta = newKeys.stat.bloomFilter("url_hash", BloomExpectedItems, BloomFpp)
+    // few fat partials: every partition ships a full ~5 MB bloom bitmap to
+    // the driver for the final OR — 32 partials cost ~150 MB of serialization
+    val delta = newKeys.coalesce(4)
+      .stat.bloomFilter("url_hash", BloomExpectedItems, BloomFpp)
     val merged = loadBloom(dir) match {
       case Some(existing) => existing.mergeInPlace(delta)
       case None           => delta
@@ -151,62 +155,63 @@ object SeenSet {
     }
   }
 
-  /** Split `incoming` (must carry `url_hash` and `canonical_url` columns) into
-    * (novel, dupes) against the seen store.
+  /** Flag duplicates in one pass: adds a `__dup` boolean column to `incoming`
+    * (which must carry `url_hash`).
     *
     * Plan shape (scale rationale in the class doc):
     * {{{
-    *   incoming ──bloom─┬─ negative ──────────────────────────┐
-    *                    └─ positive ──cuckoo─┬─ negative ──────┤→ novel
-    *                                         └─ positive ──exact anti-join─┬→ novel (FP)
-    *                                                          └─ semi-join ┴→ dupes
+    *   incoming ──[bloom+cuckoo probe, one projection]─┬─ negative → __dup=false
+    *                                                   └─ positive ──left join seen keys──
+    *                                                        __dup = key found (FPs survive as novel)
     * }}}
+    * The probe UDF short-circuits: bloom first (in-memory, loaded once per
+    * executor), cuckoo bucket only on bloom positives. Only probe-positive
+    * rows reach the exact join, whose probe side is tiny (true dupes + FPs)
+    * and broadcastable.
+    *
+    * `probeRepartition`: at cluster scale, pre-shuffling by `pmod(url_hash,
+    * buckets)` gives each executor a disjoint slice of the cuckoo bucket
+    * files (memory O(filters/executors)); in local mode all tasks share one
+    * JVM cache, so the shuffle is pure overhead — disable it there.
     */
-  def filterNovel(
+  def markDupes(
       incoming: DataFrame,
       seen: DataFrame,
       filterDir: String,
-      buckets: Int = DefaultBuckets): (DataFrame, DataFrame) = {
-    val spark = incoming.sparkSession
-
-    // Stage 1: broadcast bloom. Negative → definitely novel.
-    val bloomOpt = loadBloom(filterDir)
-    val (bloomNeg, bloomPos) = bloomOpt match {
-      case Some(bloom) =>
-        val bc = spark.sparkContext.broadcast(bloom)
-        val might = udf((h: Long) => bc.value.mightContainLong(h))
-        (incoming.filter(!might(col("url_hash"))), incoming.filter(might(col("url_hash"))))
-      case None =>
-        (incoming.limit(0), incoming)
-    }
-
-    // Stage 2: partitioned cuckoo over bloom positives. Negative → novel.
-    val withFlag = bloomPos
-      .repartition(buckets, pmod(col("url_hash"), lit(buckets)))
-      .withColumn("__maybe_seen", cuckooMightContain(filterDir, buckets)(col("url_hash")))
-    val cuckooNeg = withFlag.filter(!col("__maybe_seen")).drop("__maybe_seen")
-    val cuckooPos = withFlag.filter(col("__maybe_seen")).drop("__maybe_seen")
-
-    // Stage 3: exact verification of the (tiny) cuckoo-positive set.
-    val dupes = cuckooPos.join(seen.select("url_hash").distinct(), Seq("url_hash"), "left_semi")
-    val novelFp = cuckooPos.join(seen.select("url_hash").distinct(), Seq("url_hash"), "left_anti")
-
-    (bloomNeg.unionByName(cuckooNeg).unionByName(novelFp), dupes)
+      buckets: Int = DefaultBuckets,
+      probeRepartition: Boolean = true,
+      seenKeysUnique: Boolean = false): DataFrame = {
+    val routed =
+      if (probeRepartition) incoming.repartition(buckets, pmod(col("url_hash"), lit(buckets)))
+      else incoming
+    val probe = udf(new SeenProbe(filterDir, buckets))
+    val flagged = routed.withColumn("__maybe_seen", probe(col("url_hash")))
+    val neg = flagged.filter(!col("__maybe_seen")).withColumn("__dup", lit(false))
+    // duplicate seen keys would fan out the left join — dedup unless the
+    // caller guarantees uniqueness (the crawler's seen deltas are disjoint by
+    // construction: a URL enters the seen set in exactly one round)
+    val keys = if (seenKeysUnique) seen.select(col("url_hash"))
+               else seen.select(col("url_hash")).distinct()
+    val seenKeys = keys.withColumn("__in_seen", lit(true))
+    val pos = flagged.filter(col("__maybe_seen"))
+      .join(seenKeys, Seq("url_hash"), "left")
+      .withColumn("__dup", coalesce(col("__in_seen"), lit(false)))
+      .drop("__in_seen")
+    neg.unionByName(pos).drop("__maybe_seen")
   }
 
-  /** Per-row cuckoo probe as a UDF with task-local filter cache. A plain
-    * Scala closure (not codegen) is acceptable here: it runs only on the
-    * bloom-positive slice. */
-  private def cuckooMightContain(dir: String, buckets: Int) = {
-    udf(new CuckooProbe(dir, buckets))
-  }
-
-  /** Serializable probe with a lazy per-JVM bucket cache. */
-  private final class CuckooProbe(dir: String, buckets: Int)
+  /** Combined bloom→cuckoo membership probe with per-JVM lazy caches. A plain
+    * Scala UDF (not codegen) is acceptable: bloom probes are in-memory bit
+    * tests and cuckoo probes run only on the bloom-positive slice. */
+  private final class SeenProbe(dir: String, buckets: Int)
       extends (Long => Boolean) with Serializable {
+    @transient private lazy val bloom: Option[BloomFilter] = loadBloom(dir)
     @transient private lazy val cache =
       new java.util.concurrent.ConcurrentHashMap[Int, Option[CuckooFilter]]()
     def apply(h: Long): Boolean = {
+      // absent bloom = nothing recorded yet → conservative maybe-seen only
+      // if a cuckoo bucket says so (both absent → exact join decides)
+      if (bloom.exists(b => !b.mightContainLong(h))) return false
       val b = (((h % buckets) + buckets) % buckets).toInt
       val f = cache.computeIfAbsent(b, bb => loadBucket(dir, bb))
       // missing filter file ⇒ cannot prove novelty ⇒ treat as maybe-seen

@@ -63,6 +63,39 @@ object Segregate {
     case other      => throw new IllegalArgumentException(s"unknown rendering $other")
   }
 
+  // ---- typed (plain-Scala) twins of the renderings ----
+  // The crawler's per-doc hot kernel runs these instead of the Column
+  // versions: array higher-order functions are CodegenFallback (interpreted)
+  // in Spark, and the interpreted eval's per-element allocation measured
+  // ~10 ms/doc + 25% GC at local[32]. The Column versions remain the
+  // query-surface API; SegregateSpec pins typed == Column on synth docs.
+
+  private val digitsPattern = java.util.regex.Pattern.compile("(?U)\\p{N}+")
+
+  def renderPlainStr(spans: Seq[Span]): String =
+    spans.sortBy(_.offset).iterator
+      .filter(s => s.kind == "text" || s.kind == "heading")
+      .map(_.text).mkString("\n\n")
+
+  def renderNoDigitsStr(spans: Seq[Span]): String =
+    digitsPattern.matcher(renderPlainStr(spans)).replaceAll("")
+
+  def renderMarkedStr(spans: Seq[Span]): String =
+    spans.sortBy(_.offset).iterator
+      .filter(s => s.kind == "text" || s.kind == "heading")
+      .map { s =>
+        if (s.kind == "heading") "[Heading]\n" + s.text
+        else if (starterPattern.pattern.matcher(s.text).find()) "[Paragraph]\n" + s.text
+        else s.text
+      }.mkString("\n\n")
+
+  def renderingStr(name: String, spans: Seq[Span]): String = name match {
+    case "plain"    => renderPlainStr(spans)
+    case "nodigits" => renderNoDigitsStr(spans)
+    case "marked"   => renderMarkedStr(spans)
+    case other      => throw new IllegalArgumentException(s"unknown rendering $other")
+  }
+
   // ---------- W1: paragraph segregation ----------
 
   /** The exact fold of `adobe_json.py:23-63`, per doc:
@@ -161,4 +194,25 @@ object Segregate {
     paras.filter(
       sentenceCount(col("content")) >= minSents ||
         contentWordCount(col("content")) >= minWords)
+
+  /** Typed twin of [[sentCountFilter]] (same regex semantics — pinned equal
+    * in SegregateSpec); used in the crawler's hot path. */
+  def sentKeepStr(content: String, minSents: Int = 3, minWords: Int = 30): Boolean = {
+    val sents = content.split("[.!?]+(\\s+|$)").count(_.trim.nonEmpty)
+    if (sents >= minSents) return true
+    val words = content.toLowerCase.split("[^\\p{L}]+")
+      .count(w => w.nonEmpty && !StopwordSet.contains(w))
+    words >= minWords
+  }
+
+  private lazy val StopwordSet: Set[String] = Stopwords.toSet
+
+  /** Segregate + filter in one typed pass (zero shuffles, zero interpreted
+    * column HOFs — the crawler's paragraph path). */
+  def paragraphsFiltered(docs: Dataset[Doc], minSents: Int = 3, minWords: Int = 30): Dataset[Paragraph] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d =>
+      segregateDoc(d.doc_id, "plain", d.spans)
+        .filter(p => sentKeepStr(p.content, minSents, minWords)))
+  }
 }

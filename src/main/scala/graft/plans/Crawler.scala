@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.Urls
 import graft.model._
-import graft.operators.{Dedup, Politeness, Sched, SeenSet, Segregate}
+import graft.operators.{Dedup, Politeness, SeenSet, Segregate}
 import graft.sources.{Snapshots, Synth, SynthConfig}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -45,8 +45,9 @@ final case class RoundReport(
   * `Dataset[FrontierEntry]` (SURVEY.md §3.1, §7).
   *
   * Per round:
-  *  1. D1 URL dedup of the pending frontier via bloom+cuckoo+exact
-  *     ([[SeenSet.filterNovel]]);
+  *  1. D1 URL dedup of the pending frontier via one combined bloom+cuckoo
+  *     probe projection + exact join on the probe-positive slice
+  *     ([[SeenSet.markDupes]]);
   *  2. politeness scheduling: salted host buckets + bounded per-bucket
   *     priority queues ([[Politeness.schedule]]) — overflow is *deferred*, not
   *     dropped;
@@ -58,35 +59,32 @@ final case class RoundReport(
   *     routing (drop same-case, merge-request same-URL-different-case,
   *     `search_and_scrape.py:52-94`);
   *  5. fetched PDFs → docs; D2 staged content dedup + D3 chained rendering
-  *     dedup vs within-round and historical hashes ([[Dedup]]);
+  *     dedup vs within-round and historical hashes ([[Dedup]]) — the staged
+  *     and per-rendering hashes are columns OF the docs table, so history is
+  *     one column-pruned scan of prior deltas;
   *  6. kept docs → paragraph segregation + sentence/word filter ([[Segregate]]);
-  *  7. snapshot commit (frontier rewrite + per-table deltas + per-partition
-  *     metrics manifest) — crash-resumable at round granularity
-  *     ([[Snapshots]]), then cuckoo-filter update.
+  *  7. snapshot commit (frontier rewrite + per-table deltas; row counts from
+  *     parquet footers — zero counting jobs) — crash-resumable at round
+  *     granularity ([[Snapshots]]), then cuckoo+bloom filter update.
   *
-  * Every keep-first order is an explicit total order (priority, url) so the
-  * whole crawl — fetch order, final seen set, kept docs — is invariant to
-  * partition count and parallelism (CrawlSpec asserts local[2] ≡ local[8+]).
+  * Job budget per round is deliberately small (~a dozen actions): three
+  * metric aggregations on persisted frames, seven table writes, two filter
+  * updates. Everything else is derived arithmetically or from parquet
+  * footers. Every keep-first order is an explicit total order (priority, url)
+  * so the whole crawl — fetch order, final seen set, kept docs — is invariant
+  * to partition count and parallelism (CrawlSpec asserts it).
   */
 object Crawler {
 
   val FrontierTable = "frontier"
   val SeenTable = "seen"
   val DocsTable = "docs"
-  val ContentHashTable = "content_hashes"
-  val RenderHashTable = "render_hashes"
   val JudgmentsTable = "judgments"
   val MergeRequestsTable = "merge_requests"
   val ParagraphsTable = "paragraphs"
-  val MetricsTable = "metrics"
   val FetchLogTable = "fetch_log"
 
   def filterDir(workDir: String): String = s"$workDir/filters"
-
-  private def emptyFrontier(spark: SparkSession): Dataset[FrontierEntry] = {
-    import spark.implicits._
-    spark.emptyDataset[FrontierEntry]
-  }
 
   /** Seen table across all committed rounds (exact side of D1). */
   def seenAll(spark: SparkSession, workDir: String): DataFrame =
@@ -97,6 +95,11 @@ object Crawler {
           org.apache.spark.sql.types.StructField("url_hash", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("canonical_url", org.apache.spark.sql.types.StringType)))))
 
+  private def frontierCols(spark: SparkSession): Seq[String] = {
+    import spark.implicits._
+    spark.emptyDataset[FrontierEntry].columns.toSeq
+  }
+
   /** Run (or resume) the crawl until the frontier drains or maxRounds. */
   def run(
       spark: SparkSession,
@@ -105,6 +108,13 @@ object Crawler {
       workDir: String,
       maxRounds: Int = 64): Seq[RoundReport] = {
     import spark.implicits._
+
+    // scan granularity: wide nested rows make the default 128 MB bins far
+    // too coarse — a handful of tasks would starve the executor threads
+    // (measured: <40% utilization at local[32]). 16 MB bins keep every
+    // thread fed; same tuning applies on a real cluster for span tables.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
 
     val startRound = Snapshots.latestRound(workDir).map(_ + 1).getOrElse(1)
     if (startRound > 1) {
@@ -121,39 +131,46 @@ object Crawler {
             .withColumn("canonical_url", Urls.canonicalize($"url"))
             .withColumn("url_hash", Urls.urlHash($"canonical_url"))
             .withColumn("host", Urls.host($"url"))
-            .select(spark.emptyDataset[FrontierEntry].columns.map(col): _*)
+            .select(frontierCols(spark).map(col): _*)
             .as[FrontierEntry]
         }
+    var frontierCount =
+      Snapshots.latestRound(workDir)
+        .map(r => Snapshots.footerCount(Snapshots.tablePath(workDir, r, FrontierTable)))
+        .getOrElse(synthCfg.courts.toLong * synthCfg.queriesPerCourt)
 
     val reports = Seq.newBuilder[RoundReport]
     var round = startRound
-    var continue = true
-    while (continue && round < startRound + maxRounds) {
-      frontier.persist()
-      val n = frontier.count()
-      if (n == 0) { continue = false; frontier.unpersist() }
-      else {
-        val (report, next) = runRound(spark, cfg, synthCfg, workDir, round, frontier)
-        reports += report
-        frontier.unpersist()
-        frontier = next
-        round += 1
-      }
+    while (frontierCount > 0 && round < startRound + maxRounds) {
+      val (report, next, nextCount) = runRound(spark, cfg, synthCfg, workDir, round, frontier)
+      reports += report
+      frontier = next
+      frontierCount = nextCount
+      round += 1
     }
     reports.result()
   }
 
-  /** One crawl round. Returns (report, next frontier). */
+  /** One crawl round. Returns (report, next frontier, next frontier count). */
   def runRound(
       spark: SparkSession,
       cfg: CrawlConfig,
       synthCfg: SynthConfig,
       workDir: String,
       round: Int,
-      frontier: Dataset[FrontierEntry]): (RoundReport, Dataset[FrontierEntry]) = {
+      frontier: Dataset[FrontierEntry]): (RoundReport, Dataset[FrontierEntry], Long) = {
     import spark.implicits._
 
+    val __timing = sys.env.contains("GRAFT_TIMING")
+    var __t = System.nanoTime()
+    def tick(label: String): Unit = if (__timing) {
+      val now = System.nanoTime()
+      println(f"      [t] $label: ${(now - __t) / 1e9}%.1fs")
+      __t = now
+    }
+
     val seen = seenAll(spark, workDir)
+    val fCols = frontierCols(spark)
 
     // within-frontier keep-first per canonical URL (deferred entries can
     // coexist with re-discoveries of the same URL; the reference's D1 dedups
@@ -163,45 +180,77 @@ object Crawler {
       .withColumn("__rn", row_number().over(wFrontier))
       .filter($"__rn" === 1).drop("__rn")
 
-    // ---- D1: URL-seen dedup (bloom → cuckoo → exact) ----
-    val (novelDF, dupDF) = SeenSet.filterNovel(pending, seen, filterDir(workDir))
-    val novel = novelDF.select(frontier.columns.map(col): _*).as[FrontierEntry]
-    val dupUrlCount = dupDF.count()
+    // ---- D1: URL-seen dedup (one probe projection + exact join) ----
+    val flagged = SeenSet.markDupes(pending, seen, filterDir(workDir),
+      probeRepartition = cfg.probeRepartition, seenKeysUnique = true).persist()
+    val pendingCount = flagged.count() // job 1 (also materializes the cache)
+    tick("d1-probe")
+    val novel = flagged.filter(!$"__dup").select(fCols.map(col): _*).as[FrontierEntry]
 
     // ---- politeness scheduling + fetch ----
     val sched = Politeness.schedule(novel, cfg).persist()
+    val schedCounts = sched.groupBy($"scheduled").count() // job 2
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    tick("schedule")
+    val scheduledCount = schedCounts.getOrElse(true, 0L)
+    val deferredCount = schedCounts.getOrElse(false, 0L)
+    val dupUrlCount = pendingCount - scheduledCount - deferredCount
+
     val deferred = sched.filter(!_.scheduled).map(_.entry.copy(status = "pending"))
-    val events = Politeness.fetchAll(sched, synthCfg)
+
+    // ---- fetch → durable events table (fetch_log) ----
+    // The raw fetch output carries the doc spans — a WIDE frame. It is
+    // written to parquet once and re-read with column pruning by every
+    // consumer; persist() here would columnar-encode the spans into the
+    // in-memory cache, whose builder serializes on storage-memory locks at
+    // high thread counts (measured: 3× anti-scaling at local[32]).
+    val eventsRaw = Politeness.fetchAll(sched, synthCfg)
       .withColumn("partition_id", spark_partition_id())
-      .persist()
+      .select(
+        $"entry.url".as("url"), $"entry.canonical_url".as("canonical_url"),
+        $"entry.url_hash".as("url_hash"), $"entry.host".as("host"),
+        $"entry.court".as("court"), $"entry.query".as("query"),
+        $"entry.page".as("page"), $"entry.depth".as("depth"),
+        $"entry.priority".as("priority"), $"entry.retry_count".as("retry_count"),
+        $"entry.discovered_round".as("discovered_round"),
+        $"salt", $"fetchSeq", $"status", $"kind", $"bytes",
+        $"latencyMicros".as("latency_micros"), $"partition_id",
+        $"discovered", $"doc")
+    // bounded files ⇒ downstream scans parallelize evenly even though the
+    // fetch partitioning is politeness-skewed (dominant court hosts)
+    val fetchLogCount = Snapshots.writeTable(workDir, round, FetchLogTable, eventsRaw,
+      maxRecordsPerFile = 1000L)
+    tick("fetch+write-events")
+    val events = Snapshots.readTable(spark, workDir, round, FetchLogTable)
+
+    // one fused aggregate for every event-level metric. NB: `kind === "pdf"`
+    // not `doc.isNotNull` — the latter would drag the full nested doc struct
+    // through the scan just to test nullness
+    val evAgg = events.agg(
+      count(when($"status" === "ok", 1)).as("ok"),
+      count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0)
+    tick("ev-agg")
+    val (okCount, docsRawCount) = (evAgg.getLong(0), evAgg.getLong(1))
+    val failCount = fetchLogCount - okCount
 
     val okEvents = events.filter($"status" === "ok")
-    val failedEvents = events.filter($"status" =!= "ok")
-
-    // per-partition / per-host lineage metrics (north rule)
-    val metrics = events.groupBy($"partition_id", $"entry.host".as("host"))
-      .agg(
-        count(when($"status" === "ok", 1)).as("fetched"),
-        count(when($"status" =!= "ok", 1)).as("failed"),
-        sum($"bytes").as("bytes"),
-        sum($"latencyMicros").as("latency_micros"))
-      .withColumn("round", lit(round))
 
     // retries: transient failures re-enqueued up to maxRetries (C3)
-    val retries = failedEvents.select($"entry.*")
+    val retries = events.filter($"status" =!= "ok")
+      .select(fCols.map(col): _*)
       .as[FrontierEntry]
       .filter(_.retry_count + 1 < cfg.maxRetries)
       .map(e => e.copy(retry_count = e.retry_count + 1, status = "pending"))
 
     // newly seen URLs: everything successfully fetched this round
     val seenDelta = okEvents
-      .select($"entry.url_hash".as("url_hash"), $"entry.canonical_url".as("canonical_url"))
+      .select($"url_hash", $"canonical_url")
       .distinct()
 
     // ---- discoveries → next frontier + judgment metadata ----
     val discovered: Dataset[RawDiscovery] = okEvents
-      .select($"entry.priority".as("parent_priority"), $"entry.court".as("parent_court"),
-        $"entry.query".as("parent_query"), $"entry.page".as("parent_page"), $"discovered")
+      .select($"priority".as("parent_priority"), $"court".as("parent_court"),
+        $"query".as("parent_query"), $"page".as("parent_page"), $"discovered")
       .as[(Long, String, String, Int, Seq[Synth.Discovered])]
       .flatMap { case (pprio, pcourt, pquery, ppage, ds) =>
         ds.map(d => RawDiscovery(pprio, pcourt, pquery, ppage, d.url, d.court, d.query,
@@ -231,38 +280,39 @@ object Crawler {
     //   same case_number (in batch or history)        → drop
     //   novel case but same canonical URL             → merge request
     //   else                                          → kept judgment
-    val caseSeen = Snapshots.readDeltas(spark, workDir, JudgmentsTable)
-      .map(_.select("case_number").distinct())
+    val judgHistory = Snapshots.readDeltas(spark, workDir, JudgmentsTable)
     val wCase = Window.partitionBy($"case_number").orderBy($"priority", $"canonical_url")
     val caseFirst = judgRaw.withColumn("__rn", row_number().over(wCase))
       .filter($"__rn" === 1).drop("__rn")
-    val caseNovel = caseSeen match {
-      case Some(cs) => caseFirst.join(cs, Seq("case_number"), "left_anti")
-      case None     => caseFirst
+    val caseNovel = judgHistory match {
+      case Some(h) => caseFirst.join(h.select("case_number").distinct(), Seq("case_number"), "left_anti")
+      case None    => caseFirst
     }
     // URL uniqueness among case-novel judgments: first case per URL wins; the
     // rest become merge requests (routed to the kept judgment's URL). History:
-    // a URL already in the seen set or judgments table also routes to merge.
+    // a URL already in the judgments table also routes to merge.
     val wUrl = Window.partitionBy($"canonical_url").orderBy($"priority", $"case_number")
     val urlRanked = caseNovel.withColumn("__rn", row_number().over(wUrl))
     val urlFirst = urlRanked.filter($"__rn" === 1).drop("__rn")
     val urlDupBatch = urlRanked.filter($"__rn" > 1).drop("__rn")
-    val judgSeenUrls = Snapshots.readDeltas(spark, workDir, JudgmentsTable)
-      .map(_.select("canonical_url").distinct())
-    val (judgKept, urlDupHist) = judgSeenUrls match {
-      case Some(su) =>
+    val (judgKept, urlDupHist) = judgHistory match {
+      case Some(h) =>
+        val su = h.select("canonical_url").distinct()
         (urlFirst.join(su, Seq("canonical_url"), "left_anti"),
           urlFirst.join(su, Seq("canonical_url"), "left_semi"))
       case None => (urlFirst, urlFirst.limit(0))
     }
+    // NOTE: no per-round literal columns — the snapshot layout's round=
+    // partition dir carries the round, keeping plans identical across rounds
+    // (codegen cache hits instead of a janino recompile per round).
     val mergeRequests = urlDupBatch.unionByName(urlDupHist)
-      .withColumn("round", lit(round))
-    val judgmentsDelta = judgKept.withColumn("round", lit(round)).persist()
+    // write early, re-read (see eventsRaw note) — judgments feed the frontier
+    val judgCount = Snapshots.writeTable(workDir, round, JudgmentsTable, judgKept)
+    tick("judgments-write")
+    val judgmentsDelta = Snapshots.readTable(spark, workDir, round, JudgmentsTable)
 
     // next-frontier candidates: kept judgments' hrefs + non-judgment
     // discoveries (next listing pages, resolved pdf urls)
-    val frontierCols = Seq("url", "canonical_url", "url_hash", "host", "court",
-      "query", "page", "depth", "priority", "status", "retry_count", "discovered_round")
     val fromJudg = judgmentsDelta
       .select($"document_href".as("url"), $"canonical_url", $"url_hash", $"court",
         $"query", $"page", $"priority")
@@ -275,7 +325,7 @@ object Crawler {
       .withColumn("status", lit("pending"))
       .withColumn("retry_count", lit(0))
       .withColumn("discovered_round", lit(round))
-      .select(frontierCols.map(col): _*)
+      .select(fCols.map(col): _*)
 
     // within-round frontier dedup: keep-first per canonical URL (total order)
     val wFront = Window.partitionBy($"canonical_url").orderBy($"priority", $"url")
@@ -285,79 +335,81 @@ object Crawler {
     val nextFrontier = deferred.unionByName(retries).unionByName(nextNew)
 
     // ---- docs: D2 + D3 + segregation ----
-    val docsRaw = okEvents.filter($"doc".isNotNull)
+    // Wide-row discipline: the spans payload never enters a shuffle. All
+    // hashes are computed in ONE projection over the spans, the D2/D3
+    // keep-first windows and history anti-joins run on the NARROW hash frame
+    // (~100 B/row), and the surviving doc_ids are broadcast back onto the
+    // wide rows (docs-per-round is politeness-bounded, so the survivor set
+    // is always broadcastable). Shuffling spans through the four dedup
+    // exchanges instead measured 3× slower at local[32] and would be
+    // catastrophic at cluster scale.
+    val docsRaw = okEvents.filter($"kind" === "pdf")
       .select($"doc.doc_id".as("doc_id"), $"doc.spans".as("spans"),
-        $"entry.priority".as("priority"), $"entry.court".as("court"))
-    val hashed = Dedup.withStagedHashes(docsRaw)
-    val contentHist = Snapshots.readDeltas(spark, workDir, ContentHashTable)
+        $"priority", $"court")
+    val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
     val arrival = Seq($"priority", $"doc_id")
-    val (d2Kept, d2Dupes) = Dedup.contentDedup(hashed, contentHist, arrival)
-    val renderHist = Snapshots.readDeltas(spark, workDir, RenderHashTable)
-    val (d3Kept, d3Dupes) = Dedup.renderingDedup(
-      d2Kept, Segregate.RenderingNames, renderHist, arrival)
-    val docsDelta = d3Kept.withColumn("round", lit(round)).persist()
+    // typed hash kernel — see Dedup.docHashes for why this is not the Column
+    // HOF projection
+    val narrowHashed = docsRaw
+      .select($"doc_id", $"spans", $"priority", $"court")
+      .as[(String, Seq[Span], Long, String)]
+      .map { case (id, spans, prio, court) => Dedup.docHashes(id, prio, court, spans) }
+      .toDF()
+    val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
+    val keptNarrow = Dedup.renderingDedup(
+      d2Kept, Segregate.RenderingNames, docsHistory, arrival)
+    val docsKept = docsRaw.select($"doc_id", $"spans")
+      .join(broadcast(keptNarrow), Seq("doc_id"))
+    // write early, re-read (wide spans column — see eventsRaw note)
+    val docsCount = Snapshots.writeTable(workDir, round, DocsTable, docsKept)
+    tick("docs-dedup+write")
+    val docsDelta = Snapshots.readTable(spark, workDir, round, DocsTable)
 
-    val contentHashDelta = docsDelta.select($"sz", $"prefix_hash", $"content_hash")
-      .withColumn("round", lit(round))
-    val renderHashDelta = Segregate.RenderingNames
-      .map(r => docsDelta.select(
-        lit(r).as("rendering"),
-        xxhash64(Segregate.rendering(r, $"spans")).as("render_hash")))
-      .reduce(_.unionByName(_))
-      .withColumn("round", lit(round))
+    val paras = Segregate.paragraphsFiltered(
+      docsDelta.select($"doc_id", $"spans").as[Doc]).toDF()
 
-    val paras = Segregate.sentCountFilter(
-      Segregate.paragraphs(docsDelta.select($"doc_id", $"spans").as[Doc]).toDF())
-      .withColumn("round", lit(round))
-
-    // ---- snapshot commit ----
-    val dupDocsCount = d2Dupes.count() + d3Dupes.count()
-    val report = RoundReport(
-      round = round,
-      scheduled = sched.filter(_.scheduled).count(),
-      fetched_ok = okEvents.count(),
-      fetch_failed = failedEvents.count(),
-      dup_url = dupUrlCount,
-      deferred = deferred.count(),
-      new_docs = docsDelta.count(),
-      dup_docs = dupDocsCount,
-      new_judgments = judgmentsDelta.count(),
-      merge_requests = mergeRequests.count(),
-      new_paragraphs = paras.count())
-
-    Snapshots.commit(workDir, round,
-      Map(
-        FrontierTable -> nextFrontier.toDF(),
-        SeenTable -> seenDelta,
-        DocsTable -> docsDelta.drop("priority"),
-        ContentHashTable -> contentHashDelta,
-        RenderHashTable -> renderHashDelta,
-        JudgmentsTable -> judgmentsDelta.drop("priority"),
-        MergeRequestsTable -> mergeRequests.drop("priority"),
-        ParagraphsTable -> paras,
-        MetricsTable -> metrics,
-        // crawl-order evidence: the per-bucket fetch sequence (north rule —
-        // ordering must match the sequential oracle; asserted in CrawlSpec)
-        FetchLogTable -> events.select(
-          lit(round).as("round"), $"entry.host".as("host"), $"salt", $"fetchSeq",
-          $"entry.canonical_url".as("canonical_url"),
-          $"entry.url_hash".as("url_hash"), $"status", $"kind")),
+    // ---- remaining tables + atomic manifest commit ----
+    val counts = Map(
+      FrontierTable -> { val c = Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF()); tick("frontier-write"); c },
+      SeenTable -> { val c = Snapshots.writeTable(workDir, round, SeenTable, seenDelta); tick("seen-write"); c },
+      MergeRequestsTable -> { val c = Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests); tick("merge-write"); c },
+      ParagraphsTable -> { val c = Snapshots.writeTable(workDir, round, ParagraphsTable, paras); tick("paras-write"); c },
+      DocsTable -> docsCount,
+      JudgmentsTable -> judgCount,
+      FetchLogTable -> fetchLogCount)
+    Snapshots.commitManifest(workDir, round, counts,
       lineage = Map(
         "report" ->
-          s"""{"scheduled": ${report.scheduled}, "ok": ${report.fetched_ok}, "failed": ${report.fetch_failed}, "dup_url": ${report.dup_url}, "deferred": ${report.deferred}}"""))
+          s"""{"scheduled": $scheduledCount, "ok": $okCount, "failed": $failCount, "dup_url": $dupUrlCount, "deferred": $deferredCount}"""))
+
+    val report = RoundReport(
+      round = round,
+      scheduled = scheduledCount,
+      fetched_ok = okCount,
+      fetch_failed = failCount,
+      dup_url = dupUrlCount,
+      deferred = deferredCount,
+      new_docs = docsCount,
+      dup_docs = docsRawCount - docsCount,
+      new_judgments = judgCount,
+      merge_requests = counts(MergeRequestsTable),
+      new_paragraphs = counts(ParagraphsTable))
 
     // bloom + cuckoo filters track the just-committed seen delta
-    val committedSeenDelta =
-      spark.read.parquet(Snapshots.tablePath(workDir, round, SeenTable))
-    SeenSet.addToFilters(committedSeenDelta, filterDir(workDir))
-    SeenSet.addToBloom(committedSeenDelta, filterDir(workDir))
+    if (counts(SeenTable) > 0) {
+      val committedSeenDelta =
+        spark.read.parquet(Snapshots.tablePath(workDir, round, SeenTable))
+      SeenSet.addToFilters(committedSeenDelta, filterDir(workDir))
+      tick("cuckoo-update")
+      SeenSet.addToBloom(committedSeenDelta, filterDir(workDir))
+      tick("bloom-update")
+    }
 
     val committedFrontier = spark.read
       .parquet(Snapshots.tablePath(workDir, round, FrontierTable)).as[FrontierEntry]
 
-    sched.unpersist(); events.unpersist(); discoveredDF.unpersist()
-    judgmentsDelta.unpersist(); docsDelta.unpersist()
-    (report, committedFrontier)
+    flagged.unpersist(); sched.unpersist(); discoveredDF.unpersist()
+    (report, committedFrontier, counts(FrontierTable))
   }
 
   /** A1-A3 merge postprocess (`/root/reference/src/pipeline/postprocess.py:28-99`):

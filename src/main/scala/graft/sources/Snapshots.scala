@@ -9,74 +9,129 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Iceberg jar ships in this sandbox — SURVEY.md §4). Semantics kept so a real
   * Iceberg catalog could be swapped in:
   *
-  *  - every table write lands under `dir/round=<n>/<table>/` (parquet);
-  *  - a round becomes visible only when `dir/round=<n>/manifest.json` exists —
-  *    the manifest is written to a temp file and atomically renamed, so a
-  *    crash mid-round leaves the previous snapshot intact (resume = read the
-  *    max committed round, exactly the reference's skip-existing/resume
-  *    behavior, `/root/reference/src/pipeline/search_and_scrape.py:177-187`);
-  *  - delta tables (seen/docs/judgments) append one delta per round and are
-  *    read as the union of committed deltas — partition pruning over the
-  *    `round=` directory does the incremental-read work;
+  *  - table data lives under `dir/tables/<table>/round=<n>/` — Hive-style
+  *    partition dirs, so readers get the `round` column from partition
+  *    inference and writers never embed a per-round literal in the plan
+  *    (keeping plans bit-identical across rounds → codegen cache hits);
+  *  - a round becomes visible only when `dir/manifests/round=<n>.json`
+  *    exists — the manifest is written to a temp file and atomically renamed,
+  *    so a crash mid-round leaves the previous snapshot intact (resume = max
+  *    committed round; the reference's skip-existing/resume behavior,
+  *    `/root/reference/src/pipeline/search_and_scrape.py:177-187`);
+  *  - delta tables (seen/docs/judgments/…) append one partition per round and
+  *    are read as the union of committed partitions — partition pruning over
+  *    `round=` does the incremental-read work;
   *  - full tables (frontier) are rewritten each round and read from the
-  *    latest committed round only.
+  *    latest committed round only;
+  *  - row counts come from parquet footers (driver metadata IO, no jobs).
   */
 object Snapshots {
 
-  def roundDir(dir: String, round: Int): Path = Paths.get(dir, f"round=$round%06d")
+  def tablePath(dir: String, round: Int, table: String): String =
+    s"$dir/tables/$table/round=$round"
 
-  def manifestPath(dir: String, round: Int): Path = roundDir(dir, round).resolve("manifest.json")
+  private def tableRoot(dir: String, table: String): String = s"$dir/tables/$table"
+
+  def manifestPath(dir: String, round: Int): Path =
+    Paths.get(dir, "manifests", s"round=$round.json")
 
   def committedRounds(dir: String): Seq[Int] = {
-    val root = Paths.get(dir)
+    val root = Paths.get(dir, "manifests")
     if (!Files.exists(root)) return Nil
     Files.list(root).iterator.asScala
-      .filter(p => p.getFileName.toString.startsWith("round="))
-      .map(p => p.getFileName.toString.stripPrefix("round=").toInt)
-      .filter(r => Files.exists(manifestPath(dir, r)))
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("round=") && n.endsWith(".json"))
+      .map(_.stripPrefix("round=").stripSuffix(".json").toInt)
       .toSeq.sorted
   }
 
   def latestRound(dir: String): Option[Int] = committedRounds(dir).lastOption
 
-  def tablePath(dir: String, round: Int, table: String): String =
-    roundDir(dir, round).resolve(table).toString
+  /** Row count of a written parquet table partition from file footers —
+    * driver-side metadata IO only, no Spark job. */
+  def footerCount(tableDir: String): Long = {
+    val p = Paths.get(tableDir)
+    if (!Files.exists(p)) return 0L
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.list(p).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 
-  /** Write the round's tables, then commit atomically via manifest rename.
-    * `lineage` carries per-partition/per-host metrics rendered into the
-    * manifest (north rule: per-partition lineage + metrics). */
-  def commit(
+  /** Write one table partition for the round (NOT yet visible — visibility
+    * comes from [[commitManifest]]). Returns the footer row count. Writing
+    * early and re-reading is the wide-row materialization strategy: parquet
+    * write+column-pruned re-read beats `persist()` for span-carrying frames
+    * (the in-memory columnar cache builder serializes on storage-memory
+    * locks at high thread counts). */
+  /** `maxRecordsPerFile > 0` splits each task's output into bounded files —
+    * the skew control for wide tables whose upstream partitioning is
+    * semantic (politeness buckets): downstream scans then parallelize by
+    * file instead of inheriting one giant partition per dominant host. */
+  def writeTable(dir: String, round: Int, name: String, df: DataFrame,
+      maxRecordsPerFile: Long = 0L): Long = {
+    val w = df.write.mode("overwrite")
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.parquet(tablePath(dir, round, name))
+    footerCount(tablePath(dir, round, name))
+  }
+
+  /** Read back one (possibly not-yet-committed) table partition of a round. */
+  def readTable(spark: SparkSession, dir: String, round: Int, name: String): DataFrame =
+    spark.read.parquet(tablePath(dir, round, name))
+
+  /** Commit a round whose tables were already written via [[writeTable]]:
+    * atomic manifest rename makes them visible. */
+  def commitManifest(
       dir: String,
       round: Int,
-      tables: Map[String, DataFrame],
+      counts: Map[String, Long],
       lineage: Map[String, String]): Unit = {
-    val rd = roundDir(dir, round)
-    Files.createDirectories(rd)
-    val counts = tables.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(tablePath(dir, round, name))
-      name -> df.sparkSession.read.parquet(tablePath(dir, round, name)).count()
-    }
     val fields =
       Seq(s""""round": $round""",
         s""""tables": {${counts.map { case (n, c) => s""""$n": $c""" }.mkString(", ")}}""") ++
         lineage.map { case (k, v) => s""""$k": $v""" }
     val json = fields.mkString("{", ", ", "}")
-    val tmp = Files.createTempFile(rd, "manifest", ".tmp")
+    Files.createDirectories(manifestPath(dir, round).getParent)
+    val tmp = Files.createTempFile(manifestPath(dir, round).getParent, "manifest", ".tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(dir, round), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Write the round's tables, then commit atomically via manifest rename.
+    * Table counts come from parquet footers (zero extra Spark jobs). Returns
+    * the counts. `lineage` carries the per-round report rendered into the
+    * manifest (north rule: per-partition lineage + metrics). */
+  def commit(
+      dir: String,
+      round: Int,
+      tables: Map[String, DataFrame],
+      lineage: Map[String, String]): Map[String, Long] = {
+    val counts = tables.map { case (name, df) =>
+      name -> writeTable(dir, round, name, df)
+    }
+    commitManifest(dir, round, counts, lineage)
+    counts
   }
 
   /** Latest committed version of a full (rewritten-per-round) table. */
   def readLatest(spark: SparkSession, dir: String, table: String): Option[DataFrame] =
     committedRounds(dir).reverse
-      .find(r => Files.exists(roundDir(dir, r).resolve(table)))
+      .find(r => Files.exists(Paths.get(tablePath(dir, r, table))))
       .map(r => spark.read.parquet(tablePath(dir, r, table)))
 
-  /** Union of all committed deltas of a table (empty → None). */
+  /** Union of all committed partitions of a delta table (empty → None). The
+    * `round` column is recovered by partition inference via basePath. */
   def readDeltas(spark: SparkSession, dir: String, table: String): Option[DataFrame] = {
     val paths = committedRounds(dir)
-      .filter(r => Files.exists(roundDir(dir, r).resolve(table)))
+      .filter(r => Files.exists(Paths.get(tablePath(dir, r, table))))
       .map(r => tablePath(dir, r, table))
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("basePath", tableRoot(dir, table)).parquet(paths: _*))
   }
 }

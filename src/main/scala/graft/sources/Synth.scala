@@ -233,7 +233,9 @@ object Synth {
     val baseId = baseIdOf(cfg, contentId)
     val hw = Rng.mix(cfg.seed, 0x59A1L, baseId)  // words keyed by baseId
     val hn = Rng.mix(cfg.seed, 0x59A2L, contentId) // digits/layout keyed by contentId
-    val nParas = 3 + Rng.bounded(hw, 6L).toInt
+    // paragraph count mirrors the reference's published stats (avg 41,
+    // max 248 paras/judgment — /root/reference/README.md:131-133): 20-60
+    val nParas = 20 + Rng.bounded(hw, 41L).toInt
     val out = Vector.newBuilder[Span]
     var off = 0
     def add(kind: String, text: String, media: String): Unit = {

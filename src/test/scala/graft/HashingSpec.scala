@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.Hashing
+import graft.model.{Doc, Span}
+import graft.operators.{Dedup, Segregate}
+import graft.sources.{Synth, SynthConfig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the typed (plain-Scala) kernels to their Catalyst twins: same
+  * hashes, same rendering strings, same filter decisions. The crawler runs
+  * the typed path (array HOFs are interpreted CodegenFallback in Spark —
+  * measured ~10 ms/doc); the Column path is the query-surface API. */
+class HashingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("Hashing.xxhash64Str equals the xxhash64 column function") {
+    val vals = Seq("", "a", "hello world", "IN THE HIGH COURT", "ü¶€ unicode")
+    val fromCol = vals.toDF("s").select(xxhash64($"s").as("h")).as[Long].collect()
+    val fromScala = vals.map(s => Hashing.xxhash64Str(s))
+    assert(fromCol.toSeq === fromScala)
+  }
+
+  test("typed renderings equal Column renderings on synth docs") {
+    val cfg = SynthConfig()
+    val docs = (0L until 30L).map(i => Doc(s"d$i", Synth.spansOf(cfg, i)))
+    val byId = docs.toDS.toDF.select(
+      $"doc_id",
+      Segregate.renderPlain($"spans").as("p"),
+      Segregate.renderNoDigits($"spans").as("n"),
+      Segregate.renderMarked($"spans").as("m"))
+      .as[(String, String, String, String)].collect()
+      .map { case (id, p, n, m) => id -> ((p, n, m)) }.toMap
+    docs.foreach { d =>
+      val (p, n, m) = (byId(d.doc_id)._1, byId(d.doc_id)._2, byId(d.doc_id)._3)
+      assert(p === Segregate.renderPlainStr(d.spans), s"plain ${d.doc_id}")
+      assert(n === Segregate.renderNoDigitsStr(d.spans), s"nodigits ${d.doc_id}")
+      assert(m === Segregate.renderMarkedStr(d.spans), s"marked ${d.doc_id}")
+    }
+  }
+
+  test("typed sentKeepStr equals the Column sentCountFilter") {
+    val paras = Seq(
+      "One. Two. Three.",
+      "Short. Text.",
+      ("word " * 31).trim + ".",
+      "the a of and to in on for with by",
+      "",
+      "1. 2. 3!? mixed punctuation here",
+      ("content " * 40).trim)
+    val df = paras.zipWithIndex.map { case (c, i) => (i, c) }.toDF("id", "content")
+    val keptCol = Segregate.sentCountFilter(df).select($"id").as[Int].collect().toSet
+    val keptScala = paras.zipWithIndex.collect {
+      case (c, i) if Segregate.sentKeepStr(c) => i
+    }.toSet
+    assert(keptCol === keptScala)
+  }
+
+  test("docHashes is deterministic and discriminates content") {
+    val cfg = SynthConfig()
+    val a = Dedup.docHashes("x", 1L, "c", Synth.spansOf(cfg, 1L))
+    val a2 = Dedup.docHashes("x", 1L, "c", Synth.spansOf(cfg, 1L))
+    val b = Dedup.docHashes("x", 1L, "c", Synth.spansOf(cfg, 2L))
+    assert(a === a2)
+    assert(a.content_hash !== b.content_hash)
+    // D3 plant: two contents sharing a baseId collide under nodigits only
+    val contentA = Synth.spansOf(cfg, 10L)
+    val base = Synth.baseIdOf(cfg, 10L)
+    val partner = (0L until cfg.contentSpace).find(c2 =>
+      c2 != 10L && Synth.baseIdOf(cfg, c2) == base)
+    partner.foreach { c2 =>
+      val hA = Dedup.docHashes("a", 1L, "c", contentA)
+      val hB = Dedup.docHashes("b", 1L, "c", Synth.spansOf(cfg, c2))
+      assert(hA.render_hash_nodigits === hB.render_hash_nodigits)
+      assert(hA.content_hash !== hB.content_hash)
+    }
+  }
+}

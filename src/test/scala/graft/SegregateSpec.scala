@@ -140,7 +140,10 @@ class SegregateSpec extends AnyFunSuite {
       // only before para 1, so filtering suffices for the cross-check
       .groupBy($"doc_id", $"para_id")
       .agg(
-        concat_ws(" ", collect_list($"text")).as("joined"),
+        // collect_list after a shuffle has no ordering guarantee — sort by
+        // offset inside the agg (same L5 lesson as keep-first everywhere else)
+        array_join(transform(array_sort(collect_list(struct($"offset", $"text"))),
+          s => s("text")), " ").as("joined"),
         min($"heads_before").as("hb"))
       .join(maxPara, "doc_id")
       .filter($"para_id" < $"last_para") // trailing paragraph dropped

@@ -25,7 +25,10 @@ class SnapshotsSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("snap2").toString
     Snapshots.commit(dir, 1, Map("delta" -> Seq(1).toDF("x"), "full" -> Seq(10).toDF("y")), Map.empty)
     Snapshots.commit(dir, 2, Map("delta" -> Seq(2, 3).toDF("x"), "full" -> Seq(20, 30).toDF("y")), Map.empty)
-    assert(Snapshots.readDeltas(spark, dir, "delta").get.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // readDeltas adds the `round` partition column — select the data column
+    val deltas = Snapshots.readDeltas(spark, dir, "delta").get
+    assert(deltas.columns.toSet === Set("x", "round"), "round column exposed by partition inference")
+    assert(deltas.select("x").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
     assert(Snapshots.readLatest(spark, dir, "full").get.as[Int].collect().sorted.toSeq === Seq(20, 30))
   }
 

@@ -1,0 +1,411 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass sketch kernels as native Catalyst expressions WITH `doGenCode`.
+  *
+  * Why not `functions.transform`/`aggregate` HOF trees: Spark's array
+  * higher-order functions are `CodegenFallback` — interpreted, per-element
+  * boxed eval — and there is no cross-expression CSE in interpreted eval, so
+  * e.g. a 64-bit simhash built from 64 `aggregate` nodes re-tokenizes the text
+  * 64 times per row (measured: the round-1 bench headline phase ran ~50 min at
+  * sf0.1 and was OOM-killed). Each kernel below tokenizes/hashes ONCE per row
+  * in a tight JVM loop, and `doGenCode` emits a plain static call so the whole
+  * stage STAYS inside whole-stage codegen (a `CodegenFallback` expression
+  * would knock the entire stage out of codegen).
+  *
+  * Hashing is Spark's own XXH64 (same as the `xxhash64` column function,
+  * seed 42), so typed kernels and column plans agree. Tokenization matches
+  * `split(lower(text), "\\s+")` with empties dropped: ASCII whitespace bytes
+  * are safe to scan for directly in UTF-8 (multi-byte code points never
+  * contain ASCII bytes).
+  */
+object SketchKernels {
+
+  final val Seed = 42L
+
+  @inline private def isWs(b: Byte): Boolean = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** xxhash64 of each whitespace token of `lower(text)`, in order. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val lower = text.toLowerCase
+    val base = lower.getBaseObject
+    val off = lower.getBaseOffset
+    val len = lower.numBytes
+    var out = new Array[Long](math.max(8, len / 6))
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        out(n) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        n += 1
+      }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** 64-bit SimHash (Charikar 2002) over whitespace tokens, one pass: per bit,
+    * sign of the sum of ±1 contributions of token hashes; bit i of the token
+    * hash lands at output bit (63-i) — same layout as the round-1 column fold. */
+  def simhash64(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < th.length) {
+      val h = th(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < 64) {
+      acc = (acc << 1) | (if (counts(i) > 0) 1L else 0L)
+      i += 1
+    }
+    acc
+  }
+
+  /** MinHash signature (Broder 1997): shingle hash = XXH64 chain over k
+    * consecutive token hashes; per-seed value = one XXH64 of the shingle hash
+    * (constant work per seed — NOT a re-pass over the shingle). Empty shingle
+    * set → all-MaxValue signature (same convention as round 1). */
+  def minhashSignature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val seeds = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) { seeds(h) = XXH64.hashInt(h, Seed); h += 1 }
+    val n = th.length - k + 1
+    var i = 0
+    while (i < n) {
+      var sh = Seed
+      var j = 0
+      while (j < k) { sh = XXH64.hashLong(th(i + j), sh); j += 1 }
+      h = 0
+      while (h < numHashes) {
+        val v = XXH64.hashLong(sh, seeds(h))
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band keys: key b = XXH64 chain over signature positions
+    * [b*rowsPerBand, (b+1)*rowsPerBand), seeded per band. Band index is the
+    * output array position. */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, Seed)
+      var j = 0
+      while (j < rowsPerBand) {
+        h = XXH64.hashLong(sig.getLong(b * rowsPerBand + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Whitespace tokens of `lower(text)` as strings (for exact set sketches). */
+  def tokenStrings(text: UTF8String): Array[String] = {
+    val lower = text.toLowerCase.toString
+    val out = new java.util.ArrayList[String](16)
+    var i = 0
+    val len = lower.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(lower.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(lower.charAt(i))) i += 1
+      if (i > start) out.add(lower.substring(start, i))
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Exact n-gram (word k-shingle) Jaccard of two texts: |A∩B| / |A∪B| over
+    * distinct space-joined shingle STRINGS — exact set semantics, so a DuckDB
+    * oracle building the same shingle lists agrees bit-for-bit. One pass per
+    * text (vs the interpreted HOF version's repeated array materializations). */
+  def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    def shingleSet(text: UTF8String): java.util.HashSet[String] = {
+      val toks = tokenStrings(text)
+      val set = new java.util.HashSet[String]()
+      var i = 0
+      val n = toks.length - k + 1
+      val sb = new java.lang.StringBuilder()
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+      set
+    }
+    val sa = shingleSet(a)
+    val sb = shingleSet(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+    val uni = sa.size + sb.size - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni.toDouble
+  }
+
+  /** Winnowing-style fingerprint: the `n` smallest distinct k-shingle hashes,
+    * ascending (shingle hash = XXH64 chain over token hashes, as in
+    * [[minhashSignature]]). */
+  def fingerprint(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val m = th.length - k + 1
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      var sh = Seed
+      var j = 0
+      while (j < k) { sh = XXH64.hashLong(th(i + j), sh); j += 1 }
+      set.add(sh)
+      i += 1
+    }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(java.util.Arrays.copyOf(arr, math.min(n, arr.length)))
+  }
+
+  /** Fraction of agreeing positions between two equal-length signatures. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+}
+
+/** `simhash64(text)` — LongType. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhashSignature(text, k, numHashes)` — ArrayType(LongType). */
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashSignature(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.minhashSignature($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bandKeys(signature, bands, rowsPerBand)` — ArrayType(LongType); band index
+  * is the array position (posexplode recovers it). */
+case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.bandKeys($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngramJaccard(a, b, k)` — DoubleType, exact shingle-set Jaccard. */
+case class NgramJaccardExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchKernels.ngramJaccard($a, $b, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `fingerprint(text, k, n)` — ArrayType(LongType), n smallest shingle hashes. */
+case class FingerprintExpr(child: Expression, k: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.fingerprint(input.asInstanceOf[UTF8String], k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.fingerprint($c, $k, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sigAgreement(sigA, sigB)` — DoubleType (minhash Jaccard estimate). */
+case class SigAgreementExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchKernels.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Signed-random-projection bucket (cosine LSH): sign pattern of `planes`
+  * pseudo-random hyperplane dot products packed into a long. The plane matrix
+  * is derived from xxhash64 (deterministic, identical on every executor) and
+  * cached per expression instance — per row this is a pure `planes × dim`
+  * fused-multiply loop, not `planes × dim` hash evaluations. */
+case class SrpBucketExpr(child: Expression, planes: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes <= 63, "bucket packs into a long")
+  override def dataType: DataType = LongType
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // component (p, i) = pmod(xxhash64(seed, p*dim+i), 2000001)/1e6 - 1, i.e.
+  // the round-1 derivation, evaluated once per (plane, dim) at first use
+  @transient private lazy val planeMatrix: Array[Double] = {
+    val m = new Array[Double](planes * dim)
+    var idx = 0
+    while (idx < m.length) {
+      val h = XXH64.hashInt(idx, XXH64.hashLong(seed, SketchKernels.Seed))
+      val mod = 2000001L
+      m(idx) = (((h % mod) + mod) % mod).toDouble / 1000000.0d - 1.0d
+      idx += 1
+    }
+    m
+  }
+
+  def compute(arr: ArrayData): Long = {
+    val mat = planeMatrix
+    var acc = 0L
+    var p = 0
+    while (p < planes) {
+      var d = 0.0d
+      val base = p * dim
+      var i = 0
+      if (isFloat) {
+        while (i < dim) { d += arr.getFloat(i) * mat(base + i); i += 1 }
+      } else {
+        while (i < dim) { d += arr.getDouble(i) * mat(base + i); i += 1 }
+      }
+      acc = (acc << 1) | (if (d > 0) 1L else 0L)
+      p += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpBucketExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot / cosine over two numeric arrays in ONE pass, double accumulation
+  * left-to-right (so a DuckDB oracle computing the same sequential sum agrees
+  * bit-for-bit on doubles). */
+case class VecSimExpr(left: Expression, right: Expression, mode: String)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val leftFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0d
+    var na = 0.0d
+    var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    mode match {
+      case "dot" => dot
+      case "cosine" =>
+        if (na == 0 || nb == 0) 0.0d else dot / (math.sqrt(na) * math.sqrt(nb))
+      case _ => throw new IllegalArgumentException(s"unknown mode $mode")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecsim", this, classOf[VecSimExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API wrappers for the sketch expressions. */
+object SketchFunctions {
+  private def c(e: Expression): Column = GraftExpressionBridge.column(e)
+  private def e(col: Column): Expression = GraftExpressionBridge.expression(col)
+
+  def simhash64(text: Column): Column = c(SimHash64Expr(e(text)))
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    c(MinHashSigExpr(e(text), k, numHashes))
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    c(BandKeysExpr(e(sig), bands, rowsPerBand))
+  def sigAgreement(a: Column, b: Column): Column = c(SigAgreementExpr(e(a), e(b)))
+  def ngramJaccard(a: Column, b: Column, k: Int): Column = c(NgramJaccardExpr(e(a), e(b), k))
+  def fingerprint(text: Column, k: Int, n: Int): Column = c(FingerprintExpr(e(text), k, n))
+  def srpBucket(emb: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
+    c(SrpBucketExpr(e(emb), planes, dim, seed))
+  def dot(a: Column, b: Column): Column = c(VecSimExpr(e(a), e(b), "dot"))
+  def cosine(a: Column, b: Column): Column = c(VecSimExpr(e(a), e(b), "cosine"))
+}

@@ -39,61 +39,48 @@ object TextFunctions {
   }
 
   /** MinHash signature (Broder 1997): for each of `numHashes` seeded hash
-    * functions, the min over shingle hashes. One projection per row; the
-    * signature is `numHashes` longs regardless of document size — this is the
-    * column you persist/partition on at 100 TB, never the shingle sets. */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column = {
-    val sh = shingles(text, k)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => coalesce(array_min(transform(sh, s => xxhash64(h, s))), lit(Long.MaxValue)))
-  }
+    * functions, the min over shingle hashes. One single-pass kernel per row
+    * ([[SketchKernels.minhashSignature]] — tokenizes ONCE, constant work per
+    * seed); the signature is `numHashes` longs regardless of document size —
+    * this is the column you persist/partition on at 100 TB, never the
+    * shingle sets. */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column =
+    SketchFunctions.minhashSignature(text, k, numHashes)
 
   /** LSH band keys over a minhash signature: `bands` hashes, each over
-    * `rowsPerBand` consecutive signature positions. Docs sharing any band key
-    * are near-dup candidates → join on (band, key), never all-pairs. */
+    * `rowsPerBand` consecutive signature positions; band index = array
+    * position (recover with posexplode). Docs sharing any band key are
+    * near-dup candidates → join on (band, key), never all-pairs. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(b, to_json(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))).as("key")))
+    SketchFunctions.bandKeys(signature, bands, rowsPerBand)
 
   /** Estimated Jaccard similarity from two minhash signatures: fraction of
     * agreeing positions. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+    SketchFunctions.sigAgreement(sigA, sigB)
 
   /** Exact n-gram Jaccard between two texts (for verification of candidate
-    * pairs — runs only on the LSH-candidate slice, never all pairs). */
-  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
-    val sa = array_distinct(shingles(a, k))
-    val sb = array_distinct(shingles(b, k))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+    * pairs — runs only on the LSH-candidate slice, never all pairs). Exact
+    * string-set semantics (|A∩B|/|A∪B| over distinct space-joined shingles),
+    * one kernel pass per text ([[NgramJaccardExpr]]). */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column =
+    SketchFunctions.ngramJaccard(a, b, k)
 
   /** 64-bit SimHash (Charikar 2002) over whitespace tokens: per bit, the sign
-    * of the sum of ±1 contributions of token hashes. Fixed 64-wide transform —
-    * columnar, no UDF. Near-dups then compare by hamming distance on a long. */
-  def simhash64(text: Column): Column = {
-    val tokenHashes = transform(tokens(text), t => xxhash64(t))
-    // bit positions unrolled at plan-build time (shift amounts must be
-    // literals); the repeated tokenHashes subtree is shared by codegen's
-    // common-subexpression elimination
-    (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-      val balance = aggregate(tokenHashes, lit(0L),
-        (a, h) => a + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      shiftleft(acc, 1).bitwiseOR(when(balance > 0, lit(1L)).otherwise(lit(0L)))
-    }
-  }
+    * of the sum of ±1 contributions of token hashes. One single-pass codegen
+    * kernel per row ([[SimHash64Expr]]) — the round-1 64-aggregate column fold
+    * re-tokenized the text 64× in interpreted eval and was the bench's prime
+    * scale-killer. Near-dups then compare by hamming distance on a long. */
+  def simhash64(text: Column): Column = SketchFunctions.simhash64(text)
 
   /** Hamming distance between two simhash longs. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Rolling-hash document fingerprint (winnowing-style): the `n` smallest
-    * k-shingle hashes, sorted — a compact order-invariant sketch. */
+    * distinct k-shingle hashes, ascending — a compact order-invariant sketch
+    * (single-pass kernel, [[FingerprintExpr]]). */
   def fingerprint(text: Column, k: Int = 5, n: Int = 8): Column =
-    slice(array_sort(transform(array_distinct(shingles(text, k)), s => xxhash64(s))), 1, n)
+    SketchFunctions.fingerprint(text, k, n)
 
   // ---------- quality scoring (integer components — oracle-friendly) ----------
 
@@ -148,31 +135,21 @@ object TextFunctions {
 
   // ---------- embeddings ----------
 
-  /** Dot product of two float-array columns (zip_with + aggregate — codegen'd). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two numeric-array columns — one-pass codegen kernel with
+    * double accumulation left-to-right (DuckDB-oracle-matchable). */
+  def dot(a: Column, b: Column): Column = SketchFunctions.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val na = l2norm(a)
-    val nb = l2norm(b)
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  /** Cosine similarity — one fused pass computing dot and both norms
+    * ([[VecSimExpr]]); 0.0 when either vector is all-zero. */
+  def cosineSimilarity(a: Column, b: Column): Column = SketchFunctions.cosine(a, b)
 
   /** Signed-random-projection LSH bucket for cosine ANN: the sign pattern of
     * `planes` pseudo-random hyperplane dot products, packed into a long.
-    * Plane component (p, i) is derived from xxhash64 — deterministic, no
-    * stored plane matrix, identical on every executor. */
-  def srpBucket(embedding: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
-    require(planes <= 63, "bucket packs into a long")
-    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val d = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
-        (acc, i) => acc +
-          element_at(embedding, i + 1) *
-            (pmod(xxhash64(lit(seed), p * dim + i), lit(2000001L)).cast("double") / 1000000.0d - 1.0d))
-      when(d > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(signs, lit(0L), (acc, s) => shiftleft(acc, 1).bitwiseOR(s))
-  }
+    * Plane components are derived from xxhash64 (deterministic, identical on
+    * every executor) and cached per expression instance — per row this is a
+    * pure `planes × dim` multiply loop ([[SrpBucketExpr]]). */
+  def srpBucket(embedding: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
+    SketchFunctions.srpBucket(embedding, planes, dim, seed)
 }

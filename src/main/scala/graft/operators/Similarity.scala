@@ -36,8 +36,7 @@ object Similarity {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes))
       .withColumn("bk", lshBandKeys(col("sig"), bands, rowsPerBand))
-      .select(col("id"), col("sig"), explode(col("bk")).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+      .select(col("id"), col("sig"), posexplode(col("bk")).as(Seq("band", "key")))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("key"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))

@@ -23,17 +23,37 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM heap: SPARK_DRIVER_MEM, CAPPED at 40 GiB. Round 1 shipped an
+// uncapped pretouched heap: the driver exported ~90g, Bench forked a second
+// JVM inheriting it, and two fully-pretouched ~90 GiB heaps in a 128 GiB
+// sandbox got the bench OOM-killed (BENCH_r01.json rc=137). 40 GiB is ample
+// for local[32] over sf0.1 and leaves room for Bench's CPU-confined
+// subprocesses (which size their own, smaller heaps — see Bench.scala).
+val forkHeapGb: Int = {
+  val req = scala.util.Try(
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "32g").toLowerCase.stripSuffix("g").toInt
+  ).getOrElse(32)
+  math.min(req, 40)
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local-mode executor == driver JVM: size for 32 threads × wide rows
-  // (the sandbox has 128 GiB; 8g causes GC thrash at local[32]).
+  // (8g causes GC thrash at local[32]).
   // Xms == Xmx: G1's commit/uncommit + page-zeroing cycles under a growing
   // heap measured 3-5× CPU inflation at local[32]; a pinned heap avoids them.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  "-XX:+AlwaysPreTouch",
+  // No AlwaysPreTouch: pinning already stops the commit/uncommit cycling;
+  // pretouching made the full heap physically resident up front, which is
+  // what starved the bench subprocesses of the round-1 OOM kill.
+  s"-Xmx${forkHeapGb}g",
+  s"-Xms${forkHeapGb}g",
   // throughput collector: this is a batch engine; G1's pause-time goal costs
   // ~15-25% on the allocation-heavy nested-row paths
   s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
+  // Catalyst's generated row (de)serializers for wide nested rows (FetchEvent:
+  // frontier struct + discoveries + doc spans + doc_hashes) exceed HotSpot's
+  // 8000-bytecode JIT refusal threshold — without this flag the whole
+  // serializer runs interpreted (measured: fetch stage 70 → 417 cpu-sec after
+  // adding one nested field). Standard Spark ops flag for wide schemas.
+  "-XX:-DontCompileHugeMethods",
 )

@@ -21,14 +21,33 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Synthetic interleaved-span docs (the input-hint shape) — deterministic,
-    * derived per-row from Synth arithmetic; used by span/crawl operators that
-    * have no parquet counterpart for the oracle. */
+    * derived per-row from Synth arithmetic; used by span/crawl operators.
+    * [[writeSynthInputs]] persists the SAME docs to [[SynthDocsPath]] so the
+    * DuckDB oracle can read the identical input via `read_parquet` (the
+    * queries keep generating in-flight — self-contained at bench time). */
   private def synthDocs(spark: SparkSession, n: Int = 200): DataFrame = {
     import spark.implicits._
     val cfg = SynthConfig()
     spark.range(n.toLong).as[Long]
       .map(i => Doc(s"SYN/$i", Synth.spansOf(cfg, i)))
       .toDF("doc_id", "spans")
+  }
+
+  /** Fixed absolute location of the persisted synth inputs (oracle side). */
+  val SynthDocsPath = "/root/repo/target/verify_inputs/synth_docs"
+  val ScJudgmentsPath = "/root/repo/target/verify_inputs/sc_judgments"
+
+  /** S3 nested-shape source rows (supreme_court.py:128-142). */
+  private def scJudgments(spark: SparkSession, n: Int = 300): DataFrame = {
+    import spark.implicits._
+    Synth.scJudgments(SynthConfig(), n).toDS.toDF
+  }
+
+  /** Persist the synth inputs for the oracle (called by Verify before the
+    * query dump). */
+  def writeSynthInputs(spark: SparkSession): Unit = {
+    synthDocs(spark).coalesce(2).write.mode("overwrite").parquet(SynthDocsPath)
+    scJudgments(spark).coalesce(1).write.mode("overwrite").parquet(ScJudgmentsPath)
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the A4 stats
@@ -130,6 +149,41 @@ object SparkEntry {
         .agg(
           array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
           count(lit(1)).as("n_events"))
+    }),
+
+    "q_merge_judgments" -> ((s, dir) => {
+      // A2/A3 merge postprocess shape (postprocess.py:28-54) over documents:
+      // cluster docs, keep-first is the "judgment", the rest are merge
+      // requests; shared keys widen scalar → ordered list (kept value first)
+      val d = t(s, dir, "documents")
+        .withColumn("cluster",
+          concat(col("source"), lit("/"), pmod(col("doc_id"), lit(50))))
+      val w = Window.partitionBy(col("cluster")).orderBy(col("doc_id"))
+      val ranked = d.withColumn("rn", row_number().over(w))
+      val kept = ranked.filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id"), col("lang"), col("n_chars"))
+      val reqs = ranked.filter(col("rn") > 1)
+        .select(col("cluster"), col("doc_id"), col("lang"), col("n_chars"))
+      graft.operators.Merge.mergeEntries(kept, reqs, "cluster",
+        valueCols = Seq("doc_id", "lang", "n_chars"), arrival = Seq("doc_id"))
+    }),
+
+    "q_stats_full" -> ((s, dir) => {
+      // A4 full stats (get_data_stats.py:45-105): per source — entry count,
+      // with_file (non-empty payload, the reference's null-path filter P9),
+      // token sum, avg tokens per WITH-FILE entry (sum/with_file, NOT /count
+      // — get_data_stats.py:83-89), max tokens; plus the grand-total rollup
+      // row (the reference's 'total' row)
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCountFast(col("text")))
+        .withColumn("has_file", (length(col("text")) > 0).cast("int"))
+      d.rollup(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("has_file")).as("with_file"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (sum(col("n_tokens")).cast("double") / sum(col("has_file"))).as("avg_tokens_per_file"),
+          max(col("n_tokens")).as("max_tokens"))
     }),
 
     // ---- window family (W1-W3 relational analogs) ----
@@ -305,6 +359,28 @@ object SparkEntry {
       Segregate.paragraphs(synthDocs(s).as[Doc]).toDF()
     }),
 
+    "q_sc_nested" -> ((s, dir) => {
+      // S3: nested-struct scan (petitioner/respondent structs + bench array)
+      // with D1 case-number keep-first routing — the reference shape that
+      // forces nested types into the model (supreme_court.py:128-142)
+      val sc = scJudgments(s)
+      val w = Window.partitionBy(col("case_number")).orderBy(col("diary_number"))
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("case_number"),
+          col("petitioner.name").as("petitioner_name"),
+          col("petitioner.advocate").as("petitioner_advocate"),
+          col("respondent.name").as("respondent_name"),
+          size(col("bench")).as("bench_size"),
+          array_join(col("bench"), ", ").as("bench_names"),
+          col("document_href"))
+    }),
+
+    "q_w1_relational" -> ((s, dir) =>
+      // W1(b): the same paragraph fold as a pure window/groupBy plan —
+      // cross-checks the typed fold through an independent DuckDB oracle
+      Segregate.paragraphsRelational(synthDocs(s))),
+
     "q_rendering_dedup" -> ((s, dir) => {
       val docs = synthDocs(s)
       val hashed = Dedup.withStagedHashes(docs)
@@ -443,6 +519,203 @@ object SparkEntry {
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_merge_judgments" ->
+      """WITH ranked AS (
+        |  SELECT source || '/' || (doc_id % 50) AS cluster, doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source || '/' || (doc_id % 50) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT k.cluster,
+        |  [k.doc_id] || coalesce(r.req_doc_ids, []) AS doc_ids,
+        |  [k.lang] || coalesce(r.req_langs, []) AS langs,
+        |  [k.n_chars] || coalesce(r.req_n_chars, []) AS n_charss,
+        |  1 + coalesce(r.cnt, 0) AS n_merged
+        |FROM (SELECT cluster, doc_id, lang, n_chars FROM ranked WHERE rn = 1) k
+        |LEFT JOIN (
+        |  SELECT cluster,
+        |    list(doc_id ORDER BY doc_id) AS req_doc_ids,
+        |    list(lang ORDER BY doc_id) AS req_langs,
+        |    list(n_chars ORDER BY doc_id) AS req_n_chars,
+        |    COUNT(*) AS cnt
+        |  FROM ranked WHERE rn > 1 GROUP BY cluster) r USING (cluster)""".stripMargin,
+
+    "q_stats_full" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(has_file) AS with_file,
+        |  SUM(n_tokens) AS sum_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / SUM(has_file) AS avg_tokens_per_file,
+        |  MAX(n_tokens) AS max_tokens
+        |FROM (
+        |  SELECT source,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+        |    CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS has_file
+        |  FROM documents)
+        |GROUP BY ROLLUP(source)""".stripMargin,
+
+    "q_quality" -> {
+      val stop = graft.operators.Segregate.Stopwords.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id, n_tokens, n_stopwords,
+         |  (n_tokens >= 20 AND n_digits * 4 < n_chars AND n_punct * 4 < n_chars
+         |   AND n_stopwords * 20 >= n_tokens) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        x -> len(x) > 0 AND x IN ($stop))) AS n_stopwords,
+         |    length(text) AS n_chars,
+         |    length(text) - length(regexp_replace(text, '\\p{N}', '', 'g')) AS n_digits,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+         |  FROM documents)""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      val scores = TF.LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+        val in = markers.map(m => s"'$m'").mkString(",")
+        s"{'score': len(list_filter(toks, x -> x IN ($in))), 'lang': '$lang'}"
+      }.mkString(",\n         |    ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+         |FROM (
+         |  SELECT doc_id, lang, list_sort([
+         |    $scores
+         |  ])[-1] AS best
+         |  FROM (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents))""".stripMargin
+    },
+
+    "q_embedding_norms" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0) AS nonzero
+        |FROM embeddings""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM tok)
+        |SELECT a.doc_id AS doc_id,
+        |  CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) END AS jaccard_next
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN nc = 0 OR nq = 0 THEN 0.0
+        |         ELSE dot / (sqrt(nc) * sqrt(nq)) END AS cosine
+        |  FROM (SELECT query_id, corpus_id,
+        |          list_dot_product(cv, qv) AS dot,
+        |          list_dot_product(cv, cv) AS nc,
+        |          list_dot_product(qv, qv) AS nq
+        |        FROM c, q WHERE corpus_id != query_id))
+        |SELECT query_id, corpus_id, rank FROM (
+        |  SELECT query_id, corpus_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q_span_render" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_filter(spans, s -> s.kind IN ('text','heading')), s -> s.text), e'\\n\\n') AS plain,
+         |    array_to_string(list_transform(
+         |      list_filter(spans, s -> s.kind IN ('text','heading')),
+         |      s -> CASE WHEN s.kind = 'heading' THEN e'[Heading]\\n' || s.text
+         |                WHEN regexp_matches(s.text, '^\\p{Z}*\\p{N}+\\p{Z}*\\.') THEN e'[Paragraph]\\n' || s.text
+         |                ELSE s.text END), e'\\n\\n') AS marked
+         |  FROM read_parquet('$SynthDocsPath/*.parquet'))
+         |SELECT doc_id, length(plain) AS plain_len,
+         |  length(regexp_replace(plain, '\\p{N}+', '', 'g')) AS nodigits_len,
+         |  length(marked) AS marked_len
+         |FROM r""".stripMargin,
+
+    "q_segregate" -> segregateOracleSql,
+    "q_w1_relational" -> segregateOracleSql,
+
+    "q_sc_nested" ->
+      s"""SELECT case_number,
+         |  petitioner.name AS petitioner_name,
+         |  petitioner.advocate AS petitioner_advocate,
+         |  respondent.name AS respondent_name,
+         |  len(bench) AS bench_size,
+         |  array_to_string(bench, ', ') AS bench_names,
+         |  document_href
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY case_number ORDER BY diary_number) AS rn
+         |      FROM read_parquet('$ScJudgmentsPath/*.parquet'))
+         |WHERE rn = 1""".stripMargin,
+
+    "q_frame_sample" ->
+      s"""WITH media AS (
+         |  SELECT doc_id, s.media_ref AS media_ref
+         |  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('$SynthDocsPath/*.parquet'))
+         |  WHERE s.kind = 'image')
+         |SELECT doc_id, media_ref, CAST(i * 30 AS INT) AS frame_idx
+         |FROM media, (SELECT unnest(range(0, 4)) AS i) g""".stripMargin,
+
+    "q_media_features" ->
+      s"""WITH media AS (
+         |  SELECT doc_id, s.media_ref AS media_ref
+         |  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('$SynthDocsPath/*.parquet'))
+         |  WHERE s.kind = 'image'),
+         |h AS (
+         |  SELECT doc_id, media_ref,
+         |    list_sum(list_transform(range(1, length(p) + 1), i -> unicode(p[i:i]) * i)) % 1000003 AS hv
+         |  FROM (SELECT doc_id, media_ref, media_ref || ':' || doc_id AS p FROM media))
+         |SELECT doc_id, media_ref,
+         |  CAST(64 + hv % 960 AS INT) AS width,
+         |  CAST(64 + (hv // 7) % 960 AS INT) AS height,
+         |  8 AS feat_dim
+         |FROM h""".stripMargin
   )
+
+  /** The W1 paragraph fold as portable SQL (same derivation as
+    * [[graft.operators.Segregate.paragraphsRelational]]) — the oracle for BOTH
+    * q_segregate (typed fold) and q_w1_relational (relational plan). */
+  private def segregateOracleSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, s.kind AS kind, s.text AS text, s."offset" AS off
+       |  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('$SynthDocsPath/*.parquet'))
+       |  WHERE s.kind = 'heading' OR (s.kind = 'text' AND s.text IS NOT NULL)),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN kind = 'text' AND regexp_matches(text, '^\\p{Z}*\\p{N}+\\p{Z}*\\.') THEN 1 ELSE 0 END AS is_starter,
+       |    CASE WHEN kind = 'heading' THEN 1 ELSE 0 END AS is_heading
+       |  FROM sp),
+       |h AS (
+       |  SELECT *,
+       |    SUM(is_starter + is_heading) OVER w AS grp,
+       |    SUM(is_heading) OVER w AS heads
+       |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |para AS (
+       |  SELECT doc_id, grp,
+       |    MAX(CASE WHEN is_starter = 1 THEN heads END) AS hb,
+       |    MAX(CASE WHEN is_starter = 1 THEN text END) AS starter_text,
+       |    MAX(is_starter) AS starts_starter,
+       |    string_agg(CASE WHEN is_starter = 0 AND is_heading = 0 THEN text END, ' ' ORDER BY off) AS tail_text
+       |  FROM h GROUP BY doc_id, grp),
+       |emit AS (
+       |  SELECT *, LEAD(starts_starter) OVER (PARTITION BY doc_id ORDER BY grp) AS next_starter
+       |  FROM para),
+       |kept AS (
+       |  SELECT *,
+       |    regexp_extract(starter_text, '^((?:\\p{N}+\\p{Z}*\\.)+)', 1) AS ref_raw
+       |  FROM emit WHERE starts_starter = 1 AND next_starter = 1)
+       |SELECT doc_id, 'plain' AS extractor,
+       |  CAST(hb + 1 AS INT) AS page,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY grp) AS INT) AS paragraph_number,
+       |  trim(concat_ws(' ', trim(substr(starter_text, length(ref_raw) + 1)), tail_text)) AS content,
+       |  NULLIF(regexp_replace(ref_raw, '\\p{Z}+', '', 'g'), '') AS reference
+       |FROM kept""".stripMargin
 }

@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // persist the synth span inputs so the DuckDB oracle reads the identical
+    // docs the span queries compute over (SparkEntry.SynthDocsPath)
+    SparkEntry.writeSynthInputs(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -40,6 +40,22 @@ final case class FrontierEntry(
     discovered_round: Int
 )
 
+/** A party to a case — the nested struct of the SC by-date listing
+  * (`src/retrievers/supreme_court.py:128-142`). */
+final case class Party(name: String, advocate: String)
+
+/** The Supreme-Court by-date judgment row (S3): nested petitioner/respondent
+  * structs + bench ARRAY — the reference shape that forces nested types into
+  * the data model (`src/retrievers/supreme_court.py:128-142`). */
+final case class ScJudgment(
+    diary_number: String,
+    case_number: String,
+    by: String,
+    bench: Seq[String],
+    petitioner: Party,
+    respondent: Party,
+    document_href: String)
+
 /** Judgment metadata row parsed from a listing page
   * (`src/retrievers/delhi_high_court.py:55-60`). */
 final case class Judgment(
@@ -62,18 +78,24 @@ final case class Paragraph(
     reference: String // starter numeral, spaces removed, e.g. "1.2."; null if none
 )
 
+/** One robots.txt disallow rule: URLs on `host` whose path starts with
+  * `path_prefix` must not be fetched (north rule: robots gates enforced in
+  * the politeness layer). Deterministic table — the sandbox stand-in for a
+  * fetched+parsed robots.txt per host. */
+final case class RobotsRule(host: String, path_prefix: String)
+
 /** Per-round, per-partition crawl metrics (north rule: per-partition lineage +
   * metrics; analog of the reference's phase counters,
-  * `search_and_scrape.py:210-214,238-241`). */
+  * `search_and_scrape.py:210-214,238-241`, and its download-size logging —
+  * A5, `src/retrievers/utils.py` byte counts). Written as the `metrics`
+  * delta table every round. */
 final case class RoundMetrics(
-    round: Int,
     partition_id: Int,
     host: String,
     fetched: Long,
-    deferred: Long,
     failed: Long,
-    dup_url: Long,
-    novel: Long
+    bytes: Long,
+    avg_latency_micros: Double
 )
 
 /** Crawl configuration. `budgetPerHost` is the per-round politeness budget per
@@ -85,8 +107,17 @@ final case class CrawlConfig(
     maxRetries: Int = 3,     // `src/extractors/adobe.py:111-138`
     numPartitions: Int = 32,
     saltMax: Int = 8,        // max salt buckets for a dominant host
+    /** parallelism split: a host is salted into enough buckets that no bucket
+      * exceeds this many pending rows, even when `budgetPerHost` is large —
+      * otherwise an unthrottled crawl wave of one dominant host runs on a
+      * single task regardless of cluster size (measured: 4 busy tasks at
+      * local[32], scaling efficiency 0.40). Deterministic from host counts,
+      * so crawl order stays parallelism-invariant. */
+    maxBucketRows: Int = 4096,
     /** pre-shuffle the D1 probe by cuckoo bucket: true on a real cluster
       * (per-executor filter locality), false in local mode (one shared JVM
       * cache — the shuffle would be pure overhead). See SeenSet.markDupes. */
-    probeRepartition: Boolean = false
+    probeRepartition: Boolean = false,
+    /** robots.txt disallow rules consulted before scheduling (C4). */
+    robots: Seq[RobotsRule] = Nil
 )

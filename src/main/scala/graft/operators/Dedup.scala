@@ -68,56 +68,115 @@ object Dedup {
   /** Per-rendering hash column name in the docs table. */
   def renderHashCol(rendering: String): String = s"render_hash_$rendering"
 
-  /** Narrow per-doc identity row — everything D2/D3 needs, ~100 B/row.
-    * Field names match the staged/render hash column names. */
+  /** Narrow per-doc identity row — everything D2/D3 needs, ~150 B/row.
+    * Field names match the staged/render hash column names. Content and
+    * rendering identities are 128-bit (hex): at the 10^10-doc design point a
+    * 64-bit key sees birthday collisions (~2^32 docs), which for D2/D3 means
+    * silently DROPPING a unique document. */
   final case class DocHashes(
       doc_id: String,
       priority: Long,
       court: String,
       sz: Long,
       prefix_hash: Long,
-      content_hash: Long,
-      render_hash_plain: Long,
-      render_hash_nodigits: Long,
-      render_hash_marked: Long)
+      content_hash: String,
+      render_hash_plain: String,
+      render_hash_nodigits: String,
+      render_hash_marked: String)
 
-  /** Typed hash kernel: one pass over the spans in plain Scala. This replaces
-    * the Column HOF projection in the crawler's hot path (interpreted
-    * CodegenFallback eval measured ~10 ms/doc + 25% GC at local[32]; this
-    * kernel is ~50 µs/doc). Hash definitions:
-    *   sz           = Σ len(text) (256 for media spans) — the cheap stage
-    *   prefix_hash  = xxhash64 over the first span's fields — the 1 KiB-
-    *                  prefix analog (`preprocess.py:66-84`)
-    *   content_hash = xxhash64 chained over all span fields in offset order
-    *   render_hash_<r> = xxhash64 of the rendering string
-    */
-  def docHashes(docId: String, priority: Long, court: String, spans: Seq[graft.model.Span]): DocHashes = {
-    import graft.functions.Hashing.{xxhash64Long, xxhash64Str}
-    val sorted = spans.sortBy(_.offset)
-    var sz = 0L
-    var h = Hashing42
-    sorted.foreach { s =>
-      sz += (if (s.text != null) s.text.length.toLong else 256L)
-      h = xxhash64Str(s.kind, h)
-      if (s.text != null) h = xxhash64Str(s.text, h)
-      if (s.media_ref != null) h = xxhash64Str(s.media_ref, h)
-      h = xxhash64Long(s.offset.toLong, h)
+  /** Two independent 64-bit FNV-1a lanes ≈ one streaming 128-bit identity.
+    * A streaming hash (vs xxhash64-of-built-string) is the point: the doc
+    * kernel below never materializes a rendering string — it folds chars
+    * straight into the lanes. */
+  private final class Fnv128 {
+    private var h1 = 0xcbf29ce484222325L
+    private var h2 = 0x6c62272e07bb0142L
+    @inline def update(c: Char): Unit = {
+      h1 = (h1 ^ c) * 0x100000001b3L
+      h2 = (h2 ^ c) * 0x9e3779b97f4a7c15L
     }
-    val first = sorted.headOption
-    val prefix = first.map { s =>
-      var p = Hashing42
-      p = xxhash64Str(s.kind, p)
-      if (s.text != null) p = xxhash64Str(s.text, p)
-      if (s.media_ref != null) p = xxhash64Str(s.media_ref, p)
-      xxhash64Long(s.offset.toLong, p)
-    }.getOrElse(0L)
-    DocHashes(docId, priority, court, sz, prefix, h,
-      xxhash64Str(Segregate.renderPlainStr(sorted)),
-      xxhash64Str(Segregate.renderNoDigitsStr(sorted)),
-      xxhash64Str(Segregate.renderMarkedStr(sorted)))
+    def updateStr(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { update(s.charAt(i)); i += 1 }
+    }
+    def hex: String = f"$h1%016x$h2%016x"
+    def lane1: Long = h1
   }
 
-  private val Hashing42 = 42L
+  /** Chars the nodigits rendering strips: Java regex `(?U)\p{N}` =
+    * DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER. */
+  @inline private def isNumberChar(c: Char): Boolean = {
+    val t = Character.getType(c)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** Typed hash kernel: ONE traversal over the spans, zero string building.
+    * Runs inside the fetch stage while the spans are live objects
+    * (hash-at-ingest) — the earlier build-3-rendering-strings-then-hash
+    * version cost ~0.5 ms/doc in allocations alone and dominated the crawl
+    * round's CPU at local[32]. Hash definitions:
+    *   sz           = Σ len(text) (256 for media spans) — the cheap stage
+    *   prefix_hash  = FNV64 over the first span's fields — the 1 KiB-prefix
+    *                  analog (`preprocess.py:66-84`)
+    *   content_hash = 128-bit streaming hash over all span fields in offset
+    *                  order (field/presence delimiters included)
+    *   render_hash_<r> = 128-bit streaming hash of exactly the chars of the
+    *                  rendering string (equal strings ⇔ equal hashes w.h.p.;
+    *                  pinned vs the string renderings in HashingSpec)
+    */
+  def docHashes(docId: String, priority: Long, court: String, spans: Seq[graft.model.Span]): DocHashes = {
+    val sorted = spans.sortBy(_.offset)
+    var sz = 0L
+    val content = new Fnv128
+    val plain = new Fnv128
+    val nodigits = new Fnv128
+    val marked = new Fnv128
+    var prefix = 0L
+    var firstSeen = false
+    var firstPiece = true
+    val it = sorted.iterator
+    while (it.hasNext) {
+      val s = it.next()
+      sz += (if (s.text != null) s.text.length.toLong else 256L)
+      // content identity over all fields, with presence/field delimiters
+      content.updateStr(s.kind); content.update(0)
+      if (s.text != null) content.updateStr(s.text)
+      content.update(1)
+      if (s.media_ref != null) content.updateStr(s.media_ref)
+      content.update(2)
+      content.update((s.offset & 0xFFFF).toChar)
+      content.update(((s.offset >> 16) & 0xFFFF).toChar)
+      if (!firstSeen) {
+        firstSeen = true
+        prefix = content.lane1 // prefix stage = content lane after span 1
+      }
+      // renderings: text+heading spans joined with "\n\n" (tables/images
+      // skipped); "null" for null text matches the mkString semantics of the
+      // string renderings (Segregate.renderPlainStr)
+      if (s.kind == "text" || s.kind == "heading") {
+        if (!firstPiece) {
+          plain.update('\n'); plain.update('\n')
+          nodigits.update('\n'); nodigits.update('\n')
+          marked.update('\n'); marked.update('\n')
+        }
+        firstPiece = false
+        val text = if (s.text == null) "null" else s.text
+        if (s.kind == "heading") marked.updateStr("[Heading]\n")
+        else if (s.text != null && Segregate.starterFind(s.text)) marked.updateStr("[Paragraph]\n")
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          plain.update(c)
+          if (!isNumberChar(c)) nodigits.update(c)
+          marked.update(c)
+          i += 1
+        }
+      }
+    }
+    DocHashes(docId, priority, court, sz, prefix, content.hex,
+      plain.hex, nodigits.hex, marked.hex)
+  }
 
   /** Add one hash column per rendering (computed in a single projection —
     * these are the D3 history the docs table carries). */

@@ -21,16 +21,22 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** STUB: deterministic fake decode. Replace with a real codec. Produces an
-    * 8-float feature vector + (width, height) derived from the payload hash —
-    * stable across runs/executors, so downstream tests can pin results. */
+    * 8-float feature vector + (width, height) derived from a position-weighted
+    * byte sum mod 1000003 — stable across runs/executors AND replicable in
+    * plain SQL (no 64-bit wraparound), so the DuckDB oracle can verify the
+    * full plumbing including the stub outputs. */
   object MediaCodecStub {
     def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       // ??? <- real codec goes here; deterministic fake below
-      var h = 1125899906842597L
-      payload.foreach(b => h = 31 * h + b)
-      val w = 64 + java.lang.Math.floorMod(h, 960L).toInt
-      val ht = 64 + java.lang.Math.floorMod(h >> 12, 960L).toInt
-      val feat = Array.tabulate(8)(i => java.lang.Math.floorMod(h >> (i * 7), 1000L).toFloat / 1000f)
+      var h = 0L
+      var i = 0
+      while (i < payload.length) {
+        h = (h + (payload(i) & 0xff).toLong * (i + 1)) % 1000003L
+        i += 1
+      }
+      val w = 64 + (h % 960L).toInt
+      val ht = 64 + ((h / 7L) % 960L).toInt
+      val feat = Array.tabulate(8)(i => ((h / (i + 1)) % 1000L).toFloat / 1000f)
       (w, ht, feat)
     }
   }

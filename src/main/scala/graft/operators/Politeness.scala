@@ -12,7 +12,12 @@ final case class Slotted(entry: FrontierEntry, salt: Int, budget: Int)
 /** A scheduled (or deferred) entry; `fetchSeq` is the in-bucket fetch order. */
 final case class Sched(entry: FrontierEntry, salt: Int, fetchSeq: Int, scheduled: Boolean)
 
-/** Result of one simulated fetch, with discoveries and (for PDFs) the doc. */
+/** Result of one simulated fetch, with discoveries and (for PDFs) the doc.
+  * NOTE: deliberately does NOT carry the doc's hash identity — computing it
+  * here widens the FetchEvent serializer past HotSpot's huge-method JIT
+  * threshold and the per-row encoder tax (measured +350 cpu-sec/round)
+  * exceeds the saved re-decode; the hash kernel instead runs over the
+  * column-pruned re-read in the crawler (Dedup.docHashes, ~80 µs/doc). */
 final case class FetchEvent(
     entry: FrontierEntry,
     salt: Int,
@@ -52,10 +57,15 @@ object Politeness {
 
     // Host frequency → salt factor. The host set is small and bounded (it's a
     // politeness table); broadcast-joined back onto the frontier.
+    // salt factor = enough buckets for the politeness budget AND for task
+    // parallelism (maxBucketRows) — a huge budget must not collapse a dominant
+    // host onto one task (Model.CrawlConfig.maxBucketRows doc)
     val hostSalts = novel.groupBy($"host").count()
       .withColumn("salt_factor",
         least(lit(cfg.saltMax),
-          greatest(lit(1), ceil($"count".cast("double") / cfg.budgetPerHost)))
+          greatest(lit(1),
+            ceil($"count".cast("double") / cfg.budgetPerHost),
+            ceil($"count".cast("double") / cfg.maxBucketRows)))
           .cast("int"))
       .withColumn("budget",
         greatest(lit(1), (lit(cfg.budgetPerHost) / $"salt_factor").cast("int")))
@@ -71,26 +81,30 @@ object Politeness {
     slotted
       .repartition(cfg.numPartitions, $"entry.host", $"salt")
       .mapPartitions { it =>
-        // per-bucket max-heap of size budget holding the *smallest* (priority, url)
+        // per-bucket max-heap of size budget holding the *smallest* (priority, url).
+        // Evicted (deferred) rows are STREAMED to the output as they fall out
+        // of a heap — buffering them would be O(frontier/partition) memory,
+        // which OOMs on a 10^10 frontier with tight budgets. Task memory here
+        // is O(buckets × budget), period. Iterator.++ is by-name, so the
+        // scheduled drain below runs only after the input is exhausted.
         val ord = Ordering.by[Slotted, (Long, String)](s => (s.entry.priority, s.entry.canonical_url))
         val heaps = scala.collection.mutable.Map.empty[(String, Int), scala.collection.mutable.PriorityQueue[Slotted]]
-        val deferred = scala.collection.mutable.ArrayBuffer.empty[Sched]
-        it.foreach { s =>
+        val deferredStream: Iterator[Sched] = it.flatMap { s =>
           val heap = heaps.getOrElseUpdate((s.entry.host, s.salt),
             scala.collection.mutable.PriorityQueue.empty[Slotted](ord))
           heap.enqueue(s)
           if (heap.size > s.budget) {
             val evicted = heap.dequeue() // largest = lowest urgency
-            deferred += Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false)
-          }
+            Iterator.single(
+              Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false))
+          } else Iterator.empty
         }
-        val scheduled = heaps.valuesIterator.flatMap { heap =>
+        deferredStream ++ heaps.valuesIterator.flatMap { heap =>
           val inOrder: Seq[Slotted] = heap.dequeueAll.reverse
           inOrder.iterator.zipWithIndex.map { case (s: Slotted, i: Int) =>
             Sched(s.entry, s.salt, i, scheduled = true)
           }
         }
-        scheduled ++ deferred.iterator
       }
   }
 

@@ -42,10 +42,12 @@ object SeenSet {
     * fpp degrades gracefully (more rows take the cuckoo/exact path — never a
     * correctness issue). At true 10^10 scale this becomes a bloom *per key
     * range* with the same fixed shape per shard. */
-  val BloomExpectedItems: Long = 1L << 20
+  val BloomExpectedItems: Long = 1L << 22
   val BloomFpp: Double = 0.01
 
   private def bucketFile(dir: String, b: Int): Path = Paths.get(dir, f"bucket-$b%05d.cuckoo")
+  private def saturatedMarker(dir: String, b: Int): Path =
+    Paths.get(dir, f"bucket-$b%05d.saturated")
   private def bloomFile(dir: String): Path = Paths.get(dir, "seen.bloom")
 
   /** Build/refresh all per-bucket cuckoo filters and the bloom from the exact
@@ -57,18 +59,24 @@ object SeenSet {
     val spark = seen.sparkSession
     import spark.implicits._
     val total = seen.count()
-    val perBucket = math.max(64L, total / buckets * 2)
+    // 3× headroom over the average per-bucket load absorbs hash-modulo skew
+    val perBucket = math.max(64L, total / buckets * 3)
     seen.select(col("url_hash").cast("long"))
       .repartition(buckets, pmod(col("url_hash"), lit(buckets)))
       .as[Long]
       .foreachPartition { (it: Iterator[Long]) =>
-        val byBucket = scala.collection.mutable.Map.empty[Int, CuckooFilter]
+        // buffer the slice so the filter can be sized from the EXACT count
+        // (and resized from the buffer if skew still saturates it)
+        val byBucket = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
         it.foreach { h =>
           val b = (((h % buckets) + buckets) % buckets).toInt
-          val f = byBucket.getOrElseUpdate(b, CuckooFilter.create(perBucket))
-          if (!f.add(h)) throw new IllegalStateException(s"cuckoo bucket $b saturated")
+          byBucket.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty[Long]) += h
         }
-        byBucket.foreach { case (b, f) => atomicWrite(bucketFile(dir, b), f) }
+        byBucket.foreach { case (b, keys) =>
+          val f = buildFilter(keys, math.max(perBucket, keys.length.toLong))
+          atomicWrite(bucketFile(dir, b), f)
+          Files.deleteIfExists(saturatedMarker(dir, b))
+        }
       }
     // bloom over the full set (broadcast side) — fixed shape for mergeability.
     // stat.bloomFilter NPEs on empty input; an absent bloom file is the
@@ -108,9 +116,30 @@ object SeenSet {
     writeBloom(dir, merged)
   }
 
+  /** Build a filter over `keys` sized for at least `minCapacity`, retrying at
+    * double capacity if partial-key eviction fails early (cuckoo inserts can
+    * fail below nominal load under adversarial fingerprint collisions). */
+  private def buildFilter(keys: scala.collection.Seq[Long], minCapacity: Long): CuckooFilter = {
+    var cap = minCapacity
+    while (true) {
+      val f = CuckooFilter.create(cap)
+      if (keys.forall(f.add)) return f
+      cap *= 2
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Add newly-seen hashes into the bucket filters (read-modify-write per
     * bucket; single writer per bucket by the same repartition argument).
-    * Callers must ALSO call [[addToBloom]] with the same keys — see its doc. */
+    * Callers must ALSO call [[addToBloom]] with the same keys — see its doc.
+    *
+    * Saturation is NOT fatal: a cuckoo filter cannot grow in place (only
+    * fingerprints are stored, not keys), so a bucket that fills up is marked
+    * saturated and its file removed — probes then treat the bucket as
+    * maybe-seen (the exact table decides; correctness unaffected, D1 pays an
+    * extra join probe for that key range) until the next [[rebuildFilters]]
+    * re-sizes it from the exact table (the documented recovery path, and what
+    * resume does on startup). */
   def addToFilters(newKeys: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit = {
     val spark = newKeys.sparkSession
     import spark.implicits._
@@ -120,12 +149,25 @@ object SeenSet {
       .as[Long]
       .foreachPartition { (it: Iterator[Long]) =>
         val byBucket = scala.collection.mutable.Map.empty[Int, CuckooFilter]
+        val saturated = scala.collection.mutable.Set.empty[Int]
         it.foreach { h =>
           val b = (((h % buckets) + buckets) % buckets).toInt
-          val f = byBucket.getOrElseUpdate(b, loadBucket(dir, b).getOrElse(CuckooFilter.create(perBucket)))
-          if (!f.add(h)) throw new IllegalStateException(s"cuckoo bucket $b saturated")
+          if (!saturated.contains(b) && !Files.exists(saturatedMarker(dir, b))) {
+            val f = byBucket.getOrElseUpdate(b,
+              loadBucket(dir, b).getOrElse(CuckooFilter.create(perBucket)))
+            if (!f.add(h)) {
+              saturated += b
+              byBucket.remove(b)
+            }
+          }
         }
         byBucket.foreach { case (b, f) => atomicWrite(bucketFile(dir, b), f) }
+        saturated.foreach { b =>
+          Files.deleteIfExists(bucketFile(dir, b))
+          Files.createDirectories(saturatedMarker(dir, b).getParent)
+          if (!Files.exists(saturatedMarker(dir, b)))
+            Files.createFile(saturatedMarker(dir, b))
+        }
       }
   }
 
@@ -189,12 +231,17 @@ object SeenSet {
     val neg = flagged.filter(!col("__maybe_seen")).withColumn("__dup", lit(false))
     // duplicate seen keys would fan out the left join — dedup unless the
     // caller guarantees uniqueness (the crawler's seen deltas are disjoint by
-    // construction: a URL enters the seen set in exactly one round)
-    val keys = if (seenKeysUnique) seen.select(col("url_hash"))
-               else seen.select(col("url_hash")).distinct()
+    // construction: a URL enters the seen set in exactly one round).
+    // The join matches (url_hash, canonical_url), NOT the hash alone: at the
+    // 10^10-URL design point ~3 random 64-bit collisions are expected, and a
+    // hash-only match would silently classify a novel URL as seen (never
+    // crawled). The hash stays in the key so the join still shuffles/probes
+    // on the cheap long.
+    val keys = if (seenKeysUnique) seen.select(col("url_hash"), col("canonical_url"))
+               else seen.select(col("url_hash"), col("canonical_url")).distinct()
     val seenKeys = keys.withColumn("__in_seen", lit(true))
     val pos = flagged.filter(col("__maybe_seen"))
-      .join(seenKeys, Seq("url_hash"), "left")
+      .join(seenKeys, Seq("url_hash", "canonical_url"), "left")
       .withColumn("__dup", coalesce(col("__in_seen"), lit(false)))
       .drop("__in_seen")
     neg.unionByName(pos).drop("__maybe_seen")

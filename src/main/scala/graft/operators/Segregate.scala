@@ -26,6 +26,10 @@ object Segregate {
   private val starterPattern = StarterRegex.r
   private val referencePattern = ReferenceRegex.r
 
+  /** Precompiled starter test for typed kernels (Dedup.docHashes). */
+  def starterFind(text: String): Boolean =
+    starterPattern.pattern.matcher(text).find()
+
   // ---------- renderings (the "extractors" of our engine, SURVEY.md S9) ----------
 
   /** Names in declared order — D3 chaining is order-sensitive
@@ -160,6 +164,61 @@ object Segregate {
   def paragraphs(docs: Dataset[Doc]): Dataset[Paragraph] = {
     import docs.sparkSession.implicits._
     docs.flatMap(d => segregateDoc(d.doc_id, "plain", d.spans))
+  }
+
+  /** W1(b): the paragraph fold as a PURE RELATIONAL plan (windows + groupBy),
+    * general-case equivalent of [[segregateDoc]] — cross-checked against the
+    * typed fold in SegregateSpec and DuckDB-oracled as `q_w1_relational`.
+    *
+    * Derivation: every starter or heading opens a new group (`grp` = running
+    * count of boundary rows per doc, ordered by offset); a group is an
+    * emitted paragraph iff it starts with a starter AND the next group also
+    * starts with a starter (a heading next kills the open paragraph; no next
+    * group = the trailing paragraph, which the reference never flushes).
+    * Content = starter text minus its reference numeral + following
+    * non-boundary texts in offset order; page = headings before the starter
+    * + 1. Zero-shuffle claim does NOT hold here (two window exchanges) — this
+    * variant exists because it is SQL-portable and oracle-checkable, while
+    * the typed fold is the production path. */
+  def paragraphsRelational(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.offset").as("off"))
+      .filter(col("kind") === "heading" || (col("kind") === "text" && col("text").isNotNull))
+      .withColumn("is_starter",
+        (col("kind") === "text" && col("text").rlike(StarterRegex)).cast("int"))
+      .withColumn("is_heading", (col("kind") === "heading").cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grouped = sp
+      .withColumn("grp", sum(col("is_starter") + col("is_heading")).over(w))
+      .withColumn("heads", sum(col("is_heading")).over(w))
+    val para = grouped.groupBy(col("doc_id"), col("grp"))
+      .agg(
+        max(when(col("is_starter") === 1, col("heads"))).as("hb"),
+        max(when(col("is_starter") === 1, col("text"))).as("starter_text"),
+        max(col("is_starter")).as("starts_starter"),
+        // tail texts in offset order (collect_list is unordered post-shuffle)
+        array_join(transform(array_sort(collect_list(
+          when(col("is_starter") === 0 && col("is_heading") === 0,
+            struct(col("off"), col("text"))))),
+          s => s("text")), " ").as("tail_text"))
+    val wg = Window.partitionBy(col("doc_id")).orderBy(col("grp"))
+    para
+      .withColumn("next_starter", lead(col("starts_starter"), 1).over(wg))
+      .filter(col("starts_starter") === 1 && col("next_starter") === 1)
+      .withColumn("ref_raw", regexp_extract(col("starter_text"), ReferenceRegex, 1))
+      .withColumn("reference",
+        when(col("ref_raw") === "", lit(null).cast("string"))
+          .otherwise(regexp_replace(col("ref_raw"), "(?U)\\p{Z}+", "")))
+      .withColumn("stripped", trim(col("starter_text").substr(length(col("ref_raw")) + 1, lit(Int.MaxValue))))
+      .withColumn("content", trim(concat_ws(" ", col("stripped"), col("tail_text"))))
+      .withColumn("paragraph_number", row_number().over(wg).cast("int"))
+      .select(col("doc_id"), lit("plain").as("extractor"),
+        (col("hb") + 1).cast("int").as("page"),
+        col("paragraph_number"), col("content"), col("reference"))
   }
 
   // ---------- P7/P8: sentence/word-count filter ----------

@@ -32,6 +32,7 @@ final case class RoundReport(
     fetched_ok: Long,
     fetch_failed: Long,
     dup_url: Long,
+    robots_denied: Long,
     deferred: Long,
     new_docs: Long,
     dup_docs: Long,
@@ -83,6 +84,7 @@ object Crawler {
   val MergeRequestsTable = "merge_requests"
   val ParagraphsTable = "paragraphs"
   val FetchLogTable = "fetch_log"
+  val MetricsTable = "metrics"
 
   def filterDir(workDir: String): String = s"$workDir/filters"
 
@@ -109,12 +111,7 @@ object Crawler {
       maxRounds: Int = 64): Seq[RoundReport] = {
     import spark.implicits._
 
-    // scan granularity: wide nested rows make the default 128 MB bins far
-    // too coarse — a handful of tasks would starve the executor threads
-    // (measured: <40% utilization at local[32]). 16 MB bins keep every
-    // thread fed; same tuning applies on a real cluster for span tables.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
+    tuneScanGranularity(spark)
 
     val startRound = Snapshots.latestRound(workDir).map(_ + 1).getOrElse(1)
     if (startRound > 1) {
@@ -151,6 +148,21 @@ object Crawler {
     reports.result()
   }
 
+  /** Scan granularity: wide nested rows make the default 128 MB bins far too
+    * coarse — a handful of tasks would starve the executor threads (measured:
+    * the paras/dedup stages ran with 10-23 tasks and capped scaling at ~0.4
+    * efficiency from 8→32 cores). 16 MB bins keep every thread fed; same
+    * tuning applies on a real cluster for span tables. Applied per round so
+    * direct `runRound` callers (bench, tests) get it too. */
+  private def tuneScanGranularity(spark: SparkSession): Unit = {
+    // 8 MB bins: at 16 MB the docs-table scans produced ~1.7× tasks per
+    // thread at local[32] — two task waves with a mostly-idle second wave
+    // (quantization tax ≈ 2× wall on those stages). Small bins cost a few
+    // extra file opens, which openCostInBytes keeps bounded.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+  }
+
   /** One crawl round. Returns (report, next frontier, next frontier count). */
   def runRound(
       spark: SparkSession,
@@ -160,6 +172,8 @@ object Crawler {
       round: Int,
       frontier: Dataset[FrontierEntry]): (RoundReport, Dataset[FrontierEntry], Long) = {
     import spark.implicits._
+
+    tuneScanGranularity(spark)
 
     val __timing = sys.env.contains("GRAFT_TIMING")
     var __t = System.nanoTime()
@@ -181,11 +195,22 @@ object Crawler {
       .filter($"__rn" === 1).drop("__rn")
 
     // ---- D1: URL-seen dedup (one probe projection + exact join) ----
+    // + C4 robots gate: denied URLs are flagged in the SAME projection and
+    // dropped before scheduling (north rule: robots enforced in the
+    // politeness layer). One fused aggregate replaces the bare count —
+    // still job 1.
     val flagged = SeenSet.markDupes(pending, seen, filterDir(workDir),
-      probeRepartition = cfg.probeRepartition, seenKeysUnique = true).persist()
-    val pendingCount = flagged.count() // job 1 (also materializes the cache)
+      probeRepartition = cfg.probeRepartition, seenKeysUnique = true)
+      .withColumn("__robots_denied",
+        graft.operators.Robots.denied($"url", $"host", cfg.robots))
+      .persist()
+    val d1Agg = flagged.agg(
+      count(lit(1)).as("pending"),
+      count(when(!$"__dup" && $"__robots_denied", 1)).as("denied")).collect()(0) // job 1
+    val (pendingCount, robotsDeniedCount) = (d1Agg.getLong(0), d1Agg.getLong(1))
     tick("d1-probe")
-    val novel = flagged.filter(!$"__dup").select(fCols.map(col): _*).as[FrontierEntry]
+    val novel = flagged.filter(!$"__dup" && !$"__robots_denied")
+      .select(fCols.map(col): _*).as[FrontierEntry]
 
     // ---- politeness scheduling + fetch ----
     val sched = Politeness.schedule(novel, cfg).persist()
@@ -194,7 +219,7 @@ object Crawler {
     tick("schedule")
     val scheduledCount = schedCounts.getOrElse(true, 0L)
     val deferredCount = schedCounts.getOrElse(false, 0L)
-    val dupUrlCount = pendingCount - scheduledCount - deferredCount
+    val dupUrlCount = pendingCount - scheduledCount - deferredCount - robotsDeniedCount
 
     val deferred = sched.filter(!_.scheduled).map(_.entry.copy(status = "pending"))
 
@@ -322,6 +347,8 @@ object Crawler {
       .select($"url", $"canonical_url", $"url_hash", $"court", $"query", $"page",
         $"priority", $"host", $"depth")
     val newEntries = fromJudg.unionByName(fromOther)
+      // L2 depth budget: discoveries past maxDepth never enter the frontier
+      .filter($"depth" <= cfg.maxDepth)
       .withColumn("status", lit("pending"))
       .withColumn("retry_count", lit(0))
       .withColumn("discovered_round", lit(round))
@@ -336,20 +363,18 @@ object Crawler {
 
     // ---- docs: D2 + D3 + segregation ----
     // Wide-row discipline: the spans payload never enters a shuffle. All
-    // hashes are computed in ONE projection over the spans, the D2/D3
-    // keep-first windows and history anti-joins run on the NARROW hash frame
-    // (~100 B/row), and the surviving doc_ids are broadcast back onto the
-    // wide rows (docs-per-round is politeness-bounded, so the survivor set
-    // is always broadcastable). Shuffling spans through the four dedup
-    // exchanges instead measured 3× slower at local[32] and would be
-    // catastrophic at cluster scale.
+    // hashes are computed in ONE streaming pass over the spans
+    // (Dedup.docHashes, ~80 µs/doc), the D2/D3 keep-first windows and history
+    // anti-joins run on the NARROW hash frame (~150 B/row), and the surviving
+    // doc_ids are broadcast back onto the wide rows (docs-per-round is
+    // politeness-bounded, so the survivor set is always broadcastable).
+    // Shuffling spans through the four dedup exchanges instead measured 3×
+    // slower at local[32] and would be catastrophic at cluster scale.
     val docsRaw = okEvents.filter($"kind" === "pdf")
       .select($"doc.doc_id".as("doc_id"), $"doc.spans".as("spans"),
         $"priority", $"court")
     val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
     val arrival = Seq($"priority", $"doc_id")
-    // typed hash kernel — see Dedup.docHashes for why this is not the Column
-    // HOF projection
     val narrowHashed = docsRaw
       .select($"doc_id", $"spans", $"priority", $"court")
       .as[(String, Seq[Span], Long, String)]
@@ -369,18 +394,37 @@ object Crawler {
       docsDelta.select($"doc_id", $"spans").as[Doc]).toDF()
 
     // ---- remaining tables + atomic manifest commit ----
-    val counts = Map(
-      FrontierTable -> { val c = Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF()); tick("frontier-write"); c },
-      SeenTable -> { val c = Snapshots.writeTable(workDir, round, SeenTable, seenDelta); tick("seen-write"); c },
-      MergeRequestsTable -> { val c = Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests); tick("merge-write"); c },
-      ParagraphsTable -> { val c = Snapshots.writeTable(workDir, round, ParagraphsTable, paras); tick("paras-write"); c },
+    // The four remaining tables are independent of each other — submit their
+    // write jobs CONCURRENTLY (Spark schedules concurrent jobs fine; tasks
+    // interleave across the pool). Sequential submission serialized ~5 s of
+    // small-job latency per round at every parallelism level — pure fixed
+    // cost that the scaling ratio pays for twice.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // per-partition, per-host fetch metrics (north rule: per-partition
+    // lineage + metrics; A5 download-size stats — bytes + latency per host)
+    val metrics = events.groupBy($"partition_id", $"host")
+      .agg(
+        count(when($"status" === "ok", 1)).as("fetched"),
+        count(when($"status" =!= "ok", 1)).as("failed"),
+        coalesce(sum($"bytes"), lit(0L)).as("bytes"),
+        avg($"latency_micros").as("avg_latency_micros"))
+    val writes = Map(
+      FrontierTable -> Future(Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF())),
+      SeenTable -> Future(Snapshots.writeTable(workDir, round, SeenTable, seenDelta)),
+      MergeRequestsTable -> Future(Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests)),
+      MetricsTable -> Future(Snapshots.writeTable(workDir, round, MetricsTable, metrics)),
+      ParagraphsTable -> Future(Snapshots.writeTable(workDir, round, ParagraphsTable, paras)))
+    val counts = writes.map { case (t, f) => t -> Await.result(f, Duration.Inf) } ++ Map(
       DocsTable -> docsCount,
       JudgmentsTable -> judgCount,
       FetchLogTable -> fetchLogCount)
+    tick("tail-writes")
     Snapshots.commitManifest(workDir, round, counts,
       lineage = Map(
         "report" ->
-          s"""{"scheduled": $scheduledCount, "ok": $okCount, "failed": $failCount, "dup_url": $dupUrlCount, "deferred": $deferredCount}"""))
+          s"""{"scheduled": $scheduledCount, "ok": $okCount, "failed": $failCount, "dup_url": $dupUrlCount, "robots_denied": $robotsDeniedCount, "deferred": $deferredCount}"""))
 
     val report = RoundReport(
       round = round,
@@ -388,6 +432,7 @@ object Crawler {
       fetched_ok = okCount,
       fetch_failed = failCount,
       dup_url = dupUrlCount,
+      robots_denied = robotsDeniedCount,
       deferred = deferredCount,
       new_docs = docsCount,
       dup_docs = docsRawCount - docsCount,
@@ -412,21 +457,22 @@ object Crawler {
     (report, committedFrontier, counts(FrontierTable))
   }
 
-  /** A1-A3 merge postprocess (`/root/reference/src/pipeline/postprocess.py:28-99`):
-    * cluster merge requests onto the kept judgment by canonical URL and
-    * promote clashing scalars to sorted arrays (the reference's
-    * scalar→list widening, `utils.as_list`). */
+  /** A1-A3 merge postprocess via [[graft.operators.Merge.mergeEntries]]
+    * (`/root/reference/src/pipeline/postprocess.py:28-99`): merge requests
+    * cluster onto the kept judgment by canonical URL; the shared metadata
+    * keys (case_number/title/date) widen scalar → ordered list — kept
+    * judgment's value first, then requests in arrival order — while the
+    * payload pointer (`document_href`, the reference's excluded
+    * `document_path`) stays scalar on the kept row. */
   def mergedJudgments(spark: SparkSession, workDir: String): DataFrame = {
     val judgments = Snapshots.readDeltas(spark, workDir, JudgmentsTable).get
     val merges = Snapshots.readDeltas(spark, workDir, MergeRequestsTable)
       .getOrElse(judgments.limit(0))
-    val all = judgments.select("canonical_url", "case_number", "title", "date")
-      .unionByName(merges.select("canonical_url", "case_number", "title", "date"))
-    all.groupBy(col("canonical_url"))
-      .agg(
-        array_sort(collect_set(col("case_number"))).as("case_numbers"),
-        array_sort(collect_set(col("title"))).as("titles"),
-        array_sort(collect_set(col("date"))).as("dates"),
-        count(lit(1)).as("n_merged"))
+    graft.operators.Merge.mergeEntries(
+      judgments.select("canonical_url", "case_number", "title", "date", "document_href"),
+      merges.select("canonical_url", "case_number", "title", "date", "round", "priority"),
+      key = "canonical_url",
+      valueCols = Seq("case_number", "title", "date"),
+      arrival = Seq("round", "priority"))
   }
 }

@@ -268,6 +268,24 @@ object Synth {
 
   def docIdOf(c: Int, fileId: Long): String = s"${courtName(c)}/$fileId"
 
+  /** S3: deterministic Supreme-Court by-date rows with the reference's nested
+    * shape — petitioner/respondent structs, bench array, planted case_number
+    * duplicates (~30% collision space) so D1 case dedup is exercised
+    * (`/root/reference/src/retrievers/supreme_court.py:128-142`). */
+  def scJudgments(cfg: SynthConfig, n: Int): Seq[graft.model.ScJudgment] =
+    (0 until n).map { i =>
+      val h = Rng.mix(cfg.seed, 0x5CAFEL, i.toLong)
+      graft.model.ScJudgment(
+        diary_number = s"D-${10000 + i}",
+        case_number = s"SC/${Rng.bounded(h ^ 0x1, math.max(1L, n * 7L / 10))}/2022",
+        by = "HON. " + words(h ^ 0x2, 2).toUpperCase,
+        bench = (0 to Rng.bounded(h ^ 0x3, 3L).toInt)
+          .map(j => "J. " + words(Rng.mix64(h ^ (0x10L + j)), 1).toUpperCase),
+        petitioner = graft.model.Party(words(h ^ 0x4, 2), "Adv. " + words(h ^ 0x5, 1)),
+        respondent = graft.model.Party(words(h ^ 0x6, 2), "Adv. " + words(h ^ 0x7, 1)),
+        document_href = s"https://sc.example.org/judgment/${Rng.bounded(h ^ 0x8, n.toLong)}.pdf")
+    }
+
   // ---- Fetch simulation ----
 
   final case class Discovered(

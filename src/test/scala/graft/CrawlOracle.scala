@@ -86,13 +86,16 @@ object CrawlOracle {
       // keep-first per canonical by (priority, url)
       val pending = frontier.groupBy(_.canonical).values
         .map(_.minBy(e => (e.priority, e.url))).toVector
-      // D1: novelty
-      val novel = pending.filter(e => !seen.contains(e.canonical))
+      // D1: novelty + C4 robots gate (mirrors Crawler.runRound)
+      val novel = pending.filter(e => !seen.contains(e.canonical) &&
+        !graft.operators.Robots.deniedStr(e.url, e.host, cfg.robots))
 
       // politeness: salt factors from this round's host counts
       val hostCounts = novel.groupBy(_.host).view.mapValues(_.size).toMap
       def saltFactor(h: String): Int =
-        math.min(cfg.saltMax, math.max(1, math.ceil(hostCounts(h).toDouble / cfg.budgetPerHost).toInt))
+        math.min(cfg.saltMax, math.max(1, math.max(
+          math.ceil(hostCounts(h).toDouble / cfg.budgetPerHost).toInt,
+          math.ceil(hostCounts(h).toDouble / cfg.maxBucketRows).toInt)))
       def bucketBudget(h: String): Int = math.max(1, cfg.budgetPerHost / saltFactor(h))
       def saltOf(e: OEntry): Int = java.lang.Math.floorMod(e.hash, saltFactor(e.host).toLong).toInt
 
@@ -194,7 +197,10 @@ object CrawlOracle {
       }
 
       // next frontier: deferred + retries + keep-first new discoveries
-      val newFirst = roundDiscovered.result().groupBy(_.canonical).values
+      // (L2: discoveries past maxDepth never enter the frontier)
+      val newFirst = roundDiscovered.result()
+        .filter(_.depth <= cfg.maxDepth)
+        .groupBy(_.canonical).values
         .map(_.minBy(e => (e.priority, e.url))).toVector
       frontier = deferred.result() ++ retries.result() ++ newFirst
       round += 1

@@ -163,6 +163,54 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("robots gate: engine matches oracle; denied URLs never fetched") {
+    val rcfg = cfg.copy(robots = Seq(
+      RobotsRule(Synth.courtHost(0), "/pdf/"),   // block court-0 dominant-host pdfs
+      RobotsRule(Synth.courtHost(1), "/view")))  // block court-1 docpages
+    val d = newWorkDir("robots")
+    val reports = Crawler.run(spark, rcfg, synthCfg, d, maxRounds = 64)
+    assert(reports.map(_.robots_denied).sum > 0, "robots rules must actually fire")
+    val o = CrawlOracle.run(rcfg, synthCfg, meta)
+    val log = Snapshots.readDeltas(spark, d, Crawler.FetchLogTable).get
+      .select("round", "host", "salt", "fetchSeq", "canonical_url", "status", "kind")
+      .as[(Int, String, Int, Int, String, String, String)].collect().toSeq.sorted
+    val oLog = o.fetchLog
+      .map(r => (r.round, r.host, r.salt, r.fetchSeq, r.canonical, r.status, r.kind)).sorted
+    assert(log === oLog)
+    // no fetched URL may match a disallow rule
+    log.foreach { case (_, host, _, _, canonical, _, _) =>
+      assert(!graft.operators.Robots.deniedStr(canonical, host, rcfg.robots),
+        s"robots-denied URL fetched: $canonical")
+    }
+  }
+
+  test("maxDepth budget: depth-limited crawl matches oracle; no pdfs at depth 2") {
+    val dcfg = cfg.copy(maxDepth = 1)
+    val d = newWorkDir("depth")
+    Crawler.run(spark, dcfg, synthCfg, d, maxRounds = 64)
+    val o = CrawlOracle.run(dcfg, synthCfg, meta)
+    val seen = Snapshots.readDeltas(spark, d, Crawler.SeenTable).get
+      .select("canonical_url").as[String].collect().toSet
+    assert(seen === o.seen)
+    val kinds = Snapshots.readDeltas(spark, d, Crawler.FetchLogTable).get
+      .select("kind").distinct().as[String].collect().toSet
+    assert(!kinds.contains("pdf"), "pdf URLs are depth 2 and must be budget-dropped")
+  }
+
+  test("mergedJudgments: reference merge semantics (kept value first, ordered widening)") {
+    val merged = Crawler.mergedJudgments(spark, mainDir)
+    val got = merged.select($"canonical_url", $"case_numbers")
+      .as[(String, Seq[String])].collect().toMap
+    val keptByUrl = oracle.judgments.map { case (cn, cu) => cu -> cn }.toMap
+    val mergesByUrl = oracle.mergeRequests.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(got.keySet === keptByUrl.keySet)
+    got.foreach { case (cu, cases) =>
+      assert(cases.head === keptByUrl(cu), s"kept judgment's case must lead for $cu")
+      assert(cases.tail.sorted === mergesByUrl.getOrElse(cu, Seq.empty).sorted,
+        s"merged case content mismatch for $cu")
+    }
+  }
+
   test("planted duplicates were actually exercised (fixture is non-trivial)") {
     assert(oracle.mergeRequests.nonEmpty || oracle.judgments.size < synthCfg.totalRows,
       "D1 plants missing")

@@ -109,6 +109,55 @@ class SegregateSpec extends AnyFunSuite {
     assert(kept === Set("p1", "p3"))
   }
 
+  test("paragraphsRelational equals the typed fold on adversarial span shapes") {
+    // shapes the synthetic corpus does NOT produce: heading mid-paragraph
+    // (kills the open para), trailing paragraph, leading-space starter (no
+    // reference), multi-level numbering, tables/images interleaved, doc with
+    // no starters, empty content after the numeral
+    val advDocs = Seq(
+      Doc("mid-heading", Seq(
+        Span("text", "1. first para", null, 0),
+        Span("text", "continues", null, 1),
+        Span("heading", "SECTION II", null, 2),
+        Span("text", "not opened", null, 3),
+        Span("text", "2. second", null, 4),
+        Span("text", "3. third (trailing, dropped)", null, 5))),
+      Doc("lead-space", Seq(
+        Span("text", " 1. leading space starter", null, 0),
+        Span("text", "2. closer", null, 1),
+        Span("text", "3. tail", null, 2))),
+      Doc("multi-level", Seq(
+        Span("heading", "H", null, 0),
+        Span("text", "1.2. nested", null, 1),
+        Span("image", null, "m0", 2),
+        Span("table", null, null, 3),
+        Span("text", "2 . spaced", null, 4),
+        Span("text", "9. end", null, 5))),
+      Doc("no-starters", Seq(
+        Span("heading", "ONLY", null, 0),
+        Span("text", "prose without numbering", null, 1))),
+      Doc("empty-content", Seq(
+        Span("text", "1.", null, 0),
+        Span("text", "2. after empty", null, 1),
+        Span("text", "3. tail", null, 2))))
+    val adv = advDocs.toDS.toDF
+    val rel = Segregate.paragraphsRelational(adv).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5))).toSet
+    val typed = advDocs.flatMap(d => Segregate.segregateDoc(d.doc_id, "plain", d.spans))
+      .map(p => (p.doc_id, p.extractor, p.page, p.paragraph_number, p.content, p.reference)).toSet
+    assert(rel === typed)
+
+    // and on the synthetic corpus at small scale
+    import graft.sources.{Synth, SynthConfig}
+    val cfg = SynthConfig()
+    val docs = (0L until 20L).map(c => Doc(s"d$c", Synth.spansOf(cfg, c)))
+    val rel2 = Segregate.paragraphsRelational(docs.toDS.toDF).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5))).toSet
+    val typed2 = docs.flatMap(d => Segregate.segregateDoc(d.doc_id, "plain", d.spans))
+      .map(p => (p.doc_id, p.page, p.paragraph_number, p.content, p.reference)).toSet
+    assert(rel2 === typed2)
+  }
+
   test("typed flatMap and relational window variant agree on paragraphs") {
     import graft.sources.{Synth, SynthConfig}
     val cfg = SynthConfig()

@@ -249,9 +249,38 @@ object SparkEntry {
       d.select(
         col("doc_id"),
         TF.tokenCountFast(col("text")).as("n_tokens"),
+        TF.tokenCountBpeIsh(col("text")).as("n_bpeish"),
         length(col("text")).as("n_chars_actual"),
         TF.punctCount(col("text")).as("n_punct"),
         TF.digitCount(col("text")).as("n_digits"))
+    }),
+
+    "q_filenames" -> ((s, dir) => {
+      // P4 (retrievers/utils.py:37-52): filename from Content-Disposition
+      // (header synthesized for every 3rd doc) else URL-path basename, made
+      // path-safe, then the reference's collision rename: the n-th duplicate
+      // target name becomes base_(n).ext in arrival order. P10 `constrain`
+      // yields the log-display name.
+      val d = t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/dl/"), pmod(col("doc_id"), lit(40)).cast("string"), lit(".pdf")))
+        .withColumn("content_disposition",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("attachment; filename=doc "), pmod(col("doc_id"), lit(25)).cast("string"), lit(".pdf"))))
+      val named = d.withColumn("file_name",
+        Urls.pathSafeName(Urls.fileName(col("content_disposition"), col("url"))))
+      val w = Window.partitionBy(col("file_name")).orderBy(col("doc_id"))
+      named.withColumn("rn", row_number().over(w))
+        .withColumn("ext",
+          when(col("file_name").rlike("\\.[^.]*$"),
+            regexp_extract(col("file_name"), "(\\.[^.]*)$", 1)).otherwise(lit("")))
+        .withColumn("final_name",
+          when(col("rn") === 1, col("file_name"))
+            .otherwise(concat(
+              expr("substring(file_name, 1, length(file_name) - length(ext))"),
+              lit("_("), (col("rn") - 1).cast("string"), lit(")"), col("ext"))))
+        .select(col("doc_id"), col("file_name"), col("final_name"),
+          TF.constrain(col("final_name"), 20).as("display_name"))
     }),
 
     "q_quality" -> ((s, dir) => {
@@ -506,10 +535,34 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN length(text) = 0 THEN 0
         |       ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_bpeish,
         |  length(text) AS n_chars_actual,
         |  length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
         |FROM documents""".stripMargin,
+
+    "q_filenames" ->
+      """WITH named AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN doc_id % 3 = 0 THEN 'doc ' || (doc_id % 25) || '.pdf'
+        |           ELSE (doc_id % 40) || '.pdf' END,
+        |      '[\\/:*?"<>|]+', '_', 'g'), '\s+', ' ', 'g') AS file_name
+        |  FROM documents),
+        |r AS (SELECT doc_id, file_name,
+        |        ROW_NUMBER() OVER (PARTITION BY file_name ORDER BY doc_id) AS rn
+        |      FROM named),
+        |e AS (SELECT *, regexp_extract(file_name, '(\.[^.]*)$', 1) AS ext FROM r),
+        |f AS (SELECT doc_id, file_name,
+        |        CASE WHEN rn = 1 THEN file_name
+        |             ELSE substr(file_name, 1, length(file_name) - length(ext))
+        |                  || '_(' || (rn - 1) || ')' || ext END AS final_name
+        |      FROM e)
+        |SELECT doc_id, file_name, final_name,
+        |  CASE WHEN length(final_name) > 20
+        |       THEN substr(final_name, 1, 9) || '...' || substr(final_name, length(final_name) - 7, 8)
+        |       ELSE rpad(final_name, 20, ' ') END AS display_name
+        |FROM f""".stripMargin,
 
     "q_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

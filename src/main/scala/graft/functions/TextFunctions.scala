@@ -24,11 +24,25 @@ object TextFunctions {
     when(length(text) === 0, lit(0))
       .otherwise(length(text) - length(replace(text, lit(" "), lit(""))) + 1)
 
-  /** BPE-ish subword-aware token estimate: words + digits runs + punctuation
-    * runs (a cheap proxy for tokenizer length used in data curation). */
+  /** BPE-ish subword-aware token estimate: letter runs + digit runs +
+    * individual other non-space chars (a cheap proxy for tokenizer length
+    * used in data curation). Pure regex-match count — portable to the DuckDB
+    * oracle (RE2 has no lookbehind, so no boundary-split formulation). */
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(text, "(?U)(?<=\\p{L})(?=[^\\p{L}])|(?<=[^\\p{L}\\s])(?=\\p{L})|\\s+"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit("(?U)\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** P10 `constrain` (`/root/reference/src/utils/__init__.py:12-18`): fit a
+    * string to `width` — middle-ellipsis when longer, right-pad when shorter.
+    * Matches the reference exactly: keep the first `width/2 - 1` chars,
+    * "...", and the last `width - width/2 - 2` chars. */
+  def constrain(text: Column, width: Int): Column = {
+    val half = width >> 1
+    val othHalf = width - half
+    when(length(text) > width,
+      concat(substring(text, 1, half - 1), lit("..."),
+        substring(text, length(text) - (othHalf - 2) + 1, lit(othHalf - 2))))
+      .otherwise(rpad(text, width, " "))
+  }
 
   /** Word k-shingles of the token array: positions 1..n-k+1, space-joined. */
   def shingles(text: Column, k: Int): Column = {

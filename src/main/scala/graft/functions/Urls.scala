@@ -40,4 +40,14 @@ object Urls {
     * regex substitutions the reference applies to build filenames. */
   def pathSafeName(name: Column): Column =
     regexp_replace(regexp_replace(name, "[\\\\/:*?\"<>|]+", "_"), "\\s+", " ")
+
+  /** P4 (`/root/reference/src/retrievers/utils.py:37-41`): download filename —
+    * the Content-Disposition `filename=` value when the header is present,
+    * else the basename of the URL path. */
+  def fileName(contentDisposition: Column, url: Column): Column = {
+    val fromHeader = regexp_extract(contentDisposition, "filename=(.+)", 1)
+    val path = coalesce(parse_url(noFragment(url), lit("PATH")), lit(""))
+    val base = element_at(split(path, "/"), -1)
+    when(contentDisposition.isNotNull && fromHeader =!= "", fromHeader).otherwise(base)
+  }
 }

@@ -229,19 +229,27 @@ object SeenSet {
     val probe = udf(new SeenProbe(filterDir, buckets))
     val flagged = routed.withColumn("__maybe_seen", probe(col("url_hash")))
     val neg = flagged.filter(!col("__maybe_seen")).withColumn("__dup", lit(false))
-    // duplicate seen keys would fan out the left join — dedup unless the
-    // caller guarantees uniqueness (the crawler's seen deltas are disjoint by
-    // construction: a URL enters the seen set in exactly one round).
+    // Exact check, restructured so the SEEN TABLE IS NEVER SHUFFLED — the
+    // round-1 left join shuffled the full union-of-all-rounds seen table
+    // every round (the dominant cost at 10^10 URLs × hundreds of rounds):
+    //   1. semi-join seen against the (tiny: true dupes + filter FPs)
+    //     probe-positive key set — AQE broadcasts the small side at runtime,
+    //     so seen is scanned map-side, column-pruned, exchange-free;
+    //   2. broadcast the resulting hit set back onto the positive rows.
     // The join matches (url_hash, canonical_url), NOT the hash alone: at the
     // 10^10-URL design point ~3 random 64-bit collisions are expected, and a
     // hash-only match would silently classify a novel URL as seen (never
-    // crawled). The hash stays in the key so the join still shuffles/probes
-    // on the cheap long.
-    val keys = if (seenKeysUnique) seen.select(col("url_hash"), col("canonical_url"))
-               else seen.select(col("url_hash"), col("canonical_url")).distinct()
-    val seenKeys = keys.withColumn("__in_seen", lit(true))
-    val pos = flagged.filter(col("__maybe_seen"))
-      .join(seenKeys, Seq("url_hash", "canonical_url"), "left")
+    // crawled).
+    val posRows = flagged.filter(col("__maybe_seen"))
+    val posKeys = posRows.select(col("url_hash"), col("canonical_url")).distinct()
+    val hitsRaw = seen.select(col("url_hash"), col("canonical_url"))
+      .join(posKeys, Seq("url_hash", "canonical_url"), "left_semi")
+    // seen deltas may repeat a key across rounds unless the caller
+    // guarantees uniqueness (the crawler's are disjoint by construction)
+    val hits = (if (seenKeysUnique) hitsRaw else hitsRaw.distinct())
+      .withColumn("__in_seen", lit(true))
+    val pos = posRows
+      .join(broadcast(hits), Seq("url_hash", "canonical_url"), "left")
       .withColumn("__dup", coalesce(col("__in_seen"), lit(false)))
       .drop("__in_seen")
     neg.unionByName(pos).drop("__maybe_seen")

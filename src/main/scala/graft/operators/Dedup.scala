@@ -99,7 +99,18 @@ object Dedup {
       var i = 0
       while (i < s.length) { update(s.charAt(i)); i += 1 }
     }
-    def hex: String = f"$h1%016x$h2%016x"
+    def hex: String = {
+      // manual zero-padded hex: the f"%016x" interpolator routes through
+      // String.format (runtime format-string parsing — measured hot)
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(15 - i) = Character.forDigit(((h1 >>> (i * 4)) & 0xF).toInt, 16)
+        out(31 - i) = Character.forDigit(((h2 >>> (i * 4)) & 0xF).toInt, 16)
+        i += 1
+      }
+      new String(out)
+    }
     def lane1: Long = h1
   }
 

@@ -25,6 +25,8 @@ object Segregate {
 
   private val starterPattern = StarterRegex.r
   private val referencePattern = ReferenceRegex.r
+  // precompiled: String.replaceAll would recompile this on EVERY paragraph
+  private val spacesPattern = java.util.regex.Pattern.compile("(?U)\\p{Z}+")
 
   /** Precompiled starter test for typed kernels (Dedup.docHashes). */
   def starterFind(text: String): Boolean =
@@ -122,7 +124,8 @@ object Segregate {
     */
   def segregateDoc(docId: String, extractor: String, spans: Seq[Span]): Seq[Paragraph] = {
     val out = Vector.newBuilder[Paragraph]
-    var content = Vector.empty[String]
+    val content = new java.lang.StringBuilder(256)
+    var hasContent = false
     var reference: String = null
     var open = false
     var pageStart = 0
@@ -132,24 +135,31 @@ object Segregate {
       sp.kind match {
         case "table" | "image" => // skipped (adobe_json.py:35-37; images carry no text)
         case "heading" =>
-          open = false; content = Vector.empty; reference = null
+          open = false; content.setLength(0); hasContent = false; reference = null
           page += 1 // heading ≈ page/section advance in the synthetic model
         case "text" if sp.text != null =>
-          val isStarter = starterPattern.findFirstIn(sp.text).isDefined
+          val isStarter = starterPattern.pattern.matcher(sp.text).find()
           if (isStarter) {
-            if (open && content.nonEmpty) {
+            if (open && hasContent) {
               seq += 1
               out += Paragraph(docId, extractor, pageStart + 1, seq,
-                content.mkString(" ").trim, reference)
+                content.toString.trim, reference)
             }
-            val m = referencePattern.findFirstMatchIn(sp.text)
-            reference = m.map(_.group(1).replaceAll("(?U)\\p{Z}+", "")).orNull
-            val stripped = m.map(mm => sp.text.substring(mm.end)).getOrElse(sp.text)
-            content = Vector(stripped.trim)
+            val m = referencePattern.pattern.matcher(sp.text)
+            if (m.find()) {
+              reference = spacesPattern.matcher(m.group(1)).replaceAll("")
+              content.setLength(0)
+              content.append(sp.text.substring(m.end()).trim)
+            } else {
+              reference = null
+              content.setLength(0)
+              content.append(sp.text.trim)
+            }
+            hasContent = true
             pageStart = page
             open = true
           } else if (open) {
-            content = content :+ sp.text
+            content.append(' ').append(sp.text)
           }
         case _ => // null-text text span: ignore
       }

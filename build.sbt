@@ -50,6 +50,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput collector: this is a batch engine; G1's pause-time goal costs
   // ~15-25% on the allocation-heavy nested-row paths
   s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
+) ++ sys.env.get("SPARK_XMN").map(x => s"-Xmn$x").toSeq ++ Seq(
   // Catalyst's generated row (de)serializers for wide nested rows (FetchEvent:
   // frontier struct + discoveries + doc spans + doc_hashes) exceed HotSpot's
   // 8000-bytecode JIT refusal threshold — without this flag the whole

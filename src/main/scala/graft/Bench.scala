@@ -73,8 +73,13 @@ object Bench {
     // 32-thread level spent ~25% of run time in GC (stage metrics), which
     // taxes exactly the level the scaling ratio needs.
     val mem = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEM", "20g")
+    // ~70% young gen: the crawl wave's allocations are overwhelmingly
+    // short-lived (row encode/decode churn); a big eden cuts ParallelGC
+    // collection frequency at the 32-thread allocation rate
+    val xmn = scala.util.Try(mem.toLowerCase.stripSuffix("g").toInt)
+      .map(g => s"${math.max(1, g * 7 / 10)}g").getOrElse("14g")
     val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", java) ++ addOpens ++ Seq(
-      s"-Xmx$mem", s"-Xms$mem", "-XX:+UseParallelGC",
+      s"-Xmx$mem", s"-Xms$mem", s"-Xmn$xmn", "-XX:+UseParallelGC",
       "-XX:-DontCompileHugeMethods", // wide-row serializers exceed the JIT's 8k-bytecode refusal limit (build.sbt note)
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.tools.MegaProbe", cpus.toString, n.toString)
@@ -112,6 +117,8 @@ object Bench {
       new Thread(() => {
         var h = 1234567L
         var j = 0L
+        // dependent-chain LCG; multiplier/increment are Knuth's public MMIX
+        // constants (TAOCP Vol. 2) — any full-period pair would do
         while (j < itersPerThread) { h = h * 6364136223846793005L + 1442695040888963407L; j += 1 }
         if (h == 42L) print("")
       })
@@ -229,12 +236,17 @@ object Bench {
       val (u32, s32) = crawlBenchIsolated(32, n)
       Sample(u8, s8, u32, s32, lcgIsolated(8), lcgIsolated(32))
     }
-    val best = samples.maxBy(_.eff)
+    // The reported pair is the one from the CLEANEST weather window (fastest
+    // combined wall time) — NOT max-efficiency, which is upward-biased by
+    // noise that happens to crush a pair's 8-core member.
+    val best = samples.minBy(s => s.s8 + s.s32)
     val (urls8, secs8, urls32, secs32) = (best.u8, best.s8, best.u32, best.s32)
     val tput8 = urls8 / secs8
     val tput32 = urls32 / secs32
     val efficiency = best.eff
-    val hwEff = best.hwEff
+    // ceiling: each level's best pure-CPU probe across all windows — a
+    // stable upper bound on what the VM allows at that width
+    val hwEff = samples.map(_.lcg32).max / (4.0 * samples.map(_.lcg8).max)
     val normalized = efficiency / hwEff
     samples.foreach(s => System.err.println(
       f"[bench] pair: secs8=${s.s8}%.1f secs32=${s.s32}%.1f eff=${s.eff}%.3f hw=${s.hwEff}%.3f"))

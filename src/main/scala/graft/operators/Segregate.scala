@@ -95,13 +95,6 @@ object Segregate {
         else s.text
       }.mkString("\n\n")
 
-  def renderingStr(name: String, spans: Seq[Span]): String = name match {
-    case "plain"    => renderPlainStr(spans)
-    case "nodigits" => renderNoDigitsStr(spans)
-    case "marked"   => renderMarkedStr(spans)
-    case other      => throw new IllegalArgumentException(s"unknown rendering $other")
-  }
-
   // ---------- W1: paragraph segregation ----------
 
   /** The exact fold of `adobe_json.py:23-63`, per doc:

@@ -403,13 +403,15 @@ object Crawler {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     // per-partition, per-host fetch metrics (north rule: per-partition
-    // lineage + metrics; A5 download-size stats — bytes + latency per host)
+    // lineage + metrics; A5 download-size stats — bytes + latency per host).
+    // Typed through RoundMetrics so the metrics table's schema is pinned.
     val metrics = events.groupBy($"partition_id", $"host")
       .agg(
         count(when($"status" === "ok", 1)).as("fetched"),
         count(when($"status" =!= "ok", 1)).as("failed"),
         coalesce(sum($"bytes"), lit(0L)).as("bytes"),
-        avg($"latency_micros").as("avg_latency_micros"))
+        coalesce(avg($"latency_micros"), lit(0.0)).as("avg_latency_micros"))
+      .as[RoundMetrics].toDF()
     val writes = Map(
       FrontierTable -> Future(Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF())),
       SeenTable -> Future(Snapshots.writeTable(workDir, round, SeenTable, seenDelta)),

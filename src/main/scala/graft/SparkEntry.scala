@@ -678,6 +678,30 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
 
+    "q_ann_srp" ->
+      // the SRP plane matrix is two Lehmer/MINSTD rounds in the 2^31-1 field
+      // (SrpBucketExpr) — every step fits BIGINT, so DuckDB reproduces the
+      // exact plane doubles, buckets, and cosine ranks (verified bit-exact)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |        v[i+1] * ((((((p*64+i) + 1) * 48271 + (42 % 2147483647)) % 2147483647) * 48271) % 2147483647 / 2147483647.0 * 2.0 - 1.0)
+        |      )) > 0 THEN 1 << (3 - p) ELSE 0 END)) AS bucket
+        |  FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CASE WHEN list_dot_product(c.v, c.v) = 0 OR list_dot_product(q.v, q.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(c.v, q.v) /
+        |              (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) END AS cosine
+        |  FROM (SELECT * FROM b WHERE vec_id < 10) q
+        |  JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+        |SELECT query_id, corpus_id, rank FROM (
+        |  SELECT query_id, corpus_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
     "q_span_render" ->
       s"""WITH r AS (
          |  SELECT doc_id,

@@ -305,15 +305,19 @@ case class SrpBucketExpr(child: Expression, planes: Int, dim: Int, seed: Long)
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // component (p, i) = pmod(xxhash64(seed, p*dim+i), 2000001)/1e6 - 1, i.e.
-  // the round-1 derivation, evaluated once per (plane, dim) at first use
+  // Plane component (p, i), idx = p*dim + i: two Lehmer/MINSTD rounds in the
+  // 2^31-1 field (public-domain constants, Park–Miller 1988), scaled to
+  // [-1, 1). Chosen over a 64-bit hash DELIBERATELY: every step fits i64
+  // with no wraparound, so a DuckDB oracle reproduces the exact doubles and
+  // q_ann_srp becomes oracle-checkable. Evaluated once per instance.
   @transient private lazy val planeMatrix: Array[Double] = {
     val m = new Array[Double](planes * dim)
+    val mod = 2147483647L
     var idx = 0
     while (idx < m.length) {
-      val h = XXH64.hashInt(idx, XXH64.hashLong(seed, SketchKernels.Seed))
-      val mod = 2000001L
-      m(idx) = (((h % mod) + mod) % mod).toDouble / 1000000.0d - 1.0d
+      val s0 = ((idx + 1).toLong * 48271L + (seed % mod)) % mod
+      val s1 = (s0 * 48271L) % mod
+      m(idx) = s1.toDouble / mod.toDouble * 2.0d - 1.0d
       idx += 1
     }
     m

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: sbt's default LoggedOutput
+// strategy prepends "[info] " to every line, which made graft.Bench's summary
+// JSON line unparseable to the round driver in rounds 1-2 (BENCH_r0x.json
+// "parsed": null). StdoutOutput writes the child's stdout verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -224,8 +224,11 @@ object Bench {
     // minutes scale (adjacent identical 32-core runs measured 73 s and
     // 136 s), so a ratio of two independently-sampled levels is mostly host
     // weather. Each (8-core, 32-core, lcg8, lcg32) PAIR runs back-to-back in
-    // one weather window; the reported efficiency is the best pair's — and
-    // its hardware ceiling comes from the SAME pair's pure-CPU probes.
+    // one weather window; the reported efficiency is the best pair's. The
+    // hardware ceiling is deliberately CROSS-WINDOW: each level's best LCG
+    // probe over all windows (max lcg8 / max lcg32) — a per-width upper bound
+    // on what the VM allows, stabler than any single window's probe pair.
+    // Formula: hw_ceiling_efficiency = max(lcg32) / (4 × max(lcg8)).
     final case class Sample(u8: Long, s8: Double, u32: Long, s32: Double,
         lcg8: Double, lcg32: Double) {
       def eff: Double = (u32 / s32) / (4.0 * (u8 / s8))
@@ -254,8 +257,68 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"urls":$urls32,"urls_per_sec_8":$tput8%.1f,"urls_per_sec_32":$tput32%.1f,"secs_8":$secs8%.2f,"secs_32":$secs32%.2f,"scaling_efficiency":$efficiency%.3f,"hw_ceiling_efficiency":$hwEff%.3f,"scaling_efficiency_normalized":$normalized%.3f}}""")
+    val growth = growthJson
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"urls":$urls32,"urls_per_sec_8":$tput8%.1f,"urls_per_sec_32":$tput32%.1f,"secs_8":$secs8%.2f,"secs_32":$secs32%.2f,"scaling_efficiency":$efficiency%.3f,"hw_ceiling_efficiency":$hwEff%.3f,"scaling_efficiency_normalized":$normalized%.3f$growth}}"""
+    println(json)
+    // Belt-and-braces for the driver: the same line as a bare file (stdout
+    // arrives through sbt, which has mangled it in past rounds).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_summary.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+  }
+
+  /** Multi-round history-growth evidence (VERDICT r2 item 6): the per-round
+    * costs that scale with accumulated crawl history — seen-set probe, D2/D3
+    * history anti-joins, snapshot delta unions — measured at round ≫ 1.
+    * Runs `SPARK_GRAFT_GROWTH_ROUNDS` consecutive rounds (fresh URLs each
+    * round, shared work dir, accumulating history) at 32 cores and reports
+    * first-round vs last-round wall seconds. Skipped when rounds < 2. */
+  private def growthJson: String = {
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_GROWTH_ROUNDS", "8").toInt
+    val nPerRound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_N", "100000").toInt
+    if (rounds < 2) return ""
+    val secs = growthBench(32, rounds, nPerRound)
+    secs.zipWithIndex.foreach { case (s, i) =>
+      System.err.println(f"[bench] growth round ${i + 1}: $s%.1f s") }
+    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"ratio_last_over_first":${secs.last / secs.head}%.3f}"""
+  }
+
+  /** Run `rounds` consecutive crawl rounds in ONE work dir so history
+    * (seen set, docs hash frames, snapshot deltas) accumulates; each round's
+    * frontier is a fresh, disjoint slice of the mega-frontier. Returns wall
+    * seconds per round. */
+  private[graft] def growthBench(cpus: Int, rounds: Int, nPerRound: Int): Seq[Double] = {
+    val spark = newSession(cpus)
+    import org.apache.spark.sql.functions._
+    val synthCfg = SynthConfig(
+      courts = 4, queriesPerCourt = 8, pagesPerQuery = 4,
+      rowsPerPage = math.max(1, (nPerRound * rounds) / (4 * 8 * 4)), failRate = 0.0)
+    val cfg = CrawlConfig(
+      budgetPerHost = Int.MaxValue / 2, maxRetries = 3,
+      numPartitions = cpus * 4, saltMax = 64)
+    val workDir = java.nio.file.Files.createTempDirectory(s"graft-growth-$cpus").toString
+    // warmup round in a scratch dir (JIT/codegen, untimed)
+    val warmDir = java.nio.file.Files.createTempDirectory(s"graft-growth-warm").toString
+    Crawler.runRound(spark, cfg, synthCfg, warmDir, 1, megaFrontier(spark, synthCfg, 4096, cpus))
+    val all = megaFrontier(spark, synthCfg, nPerRound * rounds, cpus)
+    val out = (1 to rounds).map { r =>
+      val slice = all.filter(col("priority") >= (r - 1).toLong * nPerRound &&
+        col("priority") < r.toLong * nPerRound)
+      val t0 = System.nanoTime()
+      Crawler.runRound(spark, cfg, synthCfg, workDir, r, slice)
+      (System.nanoTime() - t0) / 1e9
+    }
+    spark.stop()
+    Seq(workDir, warmDir).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator.asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => }
+    }
+    out
   }
 
   /** The LCG probe in a taskset-confined subprocess (same confinement as the

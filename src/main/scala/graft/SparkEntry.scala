@@ -164,8 +164,14 @@ object SparkEntry {
         .select(col("cluster"), col("doc_id"), col("lang"), col("n_chars"))
       val reqs = ranked.filter(col("rn") > 1)
         .select(col("cluster"), col("doc_id"), col("lang"), col("n_chars"))
+      // array outputs are emitted as ","-joined strings: the driver's pandas
+      // comparator cannot sort/factorize ndarray cells (CORRECTNESS_r02 err),
+      // and q_merge_multimap's joined-string shape is proven green
       graft.operators.Merge.mergeEntries(kept, reqs, "cluster",
         valueCols = Seq("doc_id", "lang", "n_chars"), arrival = Seq("doc_id"))
+        .withColumn("doc_ids", array_join(col("doc_ids").cast("array<string>"), ","))
+        .withColumn("langs", array_join(col("langs").cast("array<string>"), ","))
+        .withColumn("n_charss", array_join(col("n_charss").cast("array<string>"), ","))
     }),
 
     "q_stats_full" -> ((s, dir) => {
@@ -182,7 +188,7 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("has_file")).as("with_file"),
           sum(col("n_tokens")).as("sum_tokens"),
-          (sum(col("n_tokens")).cast("double") / sum(col("has_file"))).as("avg_tokens_per_file"),
+          round(sum(col("n_tokens")).cast("double") / sum(col("has_file")), 6).as("avg_tokens_per_file"),
           max(col("n_tokens")).as("max_tokens"))
     }),
 
@@ -580,9 +586,9 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source || '/' || (doc_id % 50) ORDER BY doc_id) AS rn
         |  FROM documents)
         |SELECT k.cluster,
-        |  [k.doc_id] || coalesce(r.req_doc_ids, []) AS doc_ids,
-        |  [k.lang] || coalesce(r.req_langs, []) AS langs,
-        |  [k.n_chars] || coalesce(r.req_n_chars, []) AS n_charss,
+        |  array_to_string([k.doc_id] || coalesce(r.req_doc_ids, []), ',') AS doc_ids,
+        |  array_to_string([k.lang] || coalesce(r.req_langs, []), ',') AS langs,
+        |  array_to_string([k.n_chars] || coalesce(r.req_n_chars, []), ',') AS n_charss,
         |  1 + coalesce(r.cnt, 0) AS n_merged
         |FROM (SELECT cluster, doc_id, lang, n_chars FROM ranked WHERE rn = 1) k
         |LEFT JOIN (
@@ -595,9 +601,9 @@ object SparkEntry {
 
     "q_stats_full" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(has_file) AS with_file,
-        |  SUM(n_tokens) AS sum_tokens,
-        |  CAST(SUM(n_tokens) AS DOUBLE) / SUM(has_file) AS avg_tokens_per_file,
+        |  CAST(SUM(has_file) AS BIGINT) AS with_file,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE) / SUM(has_file), 6) AS avg_tokens_per_file,
         |  MAX(n_tokens) AS max_tokens
         |FROM (
         |  SELECT source,

@@ -150,9 +150,14 @@ object SeenSet {
       .foreachPartition { (it: Iterator[Long]) =>
         val byBucket = scala.collection.mutable.Map.empty[Int, CuckooFilter]
         val saturated = scala.collection.mutable.Set.empty[Int]
+        // ONE saturation-marker stat per bucket, memoized — a per-key
+        // Files.exists would be one filesystem (metadata RPC, on S3/HDFS)
+        // call per URL hash per round, dominating the whole update
+        val knownSaturated = scala.collection.mutable.Map.empty[Int, Boolean]
         it.foreach { h =>
           val b = (((h % buckets) + buckets) % buckets).toInt
-          if (!saturated.contains(b) && !Files.exists(saturatedMarker(dir, b))) {
+          if (!saturated.contains(b) &&
+              !knownSaturated.getOrElseUpdate(b, Files.exists(saturatedMarker(dir, b)))) {
             val f = byBucket.getOrElseUpdate(b,
               loadBucket(dir, b).getOrElse(CuckooFilter.create(perBucket)))
             if (!f.add(h)) {
@@ -246,10 +251,15 @@ object SeenSet {
       .join(posKeys, Seq("url_hash", "canonical_url"), "left_semi")
     // seen deltas may repeat a key across rounds unless the caller
     // guarantees uniqueness (the crawler's are disjoint by construction)
+    // no forced broadcast: the hit set is bounded by this round's
+    // probe-positive slice in the common case, but a revisit-heavy frontier
+    // can rediscover an arbitrary fraction of seen — a broadcast() hint
+    // there would collect past the driver cap. AQE picks the strategy from
+    // the runtime size (broadcast when small, shuffled join when not).
     val hits = (if (seenKeysUnique) hitsRaw else hitsRaw.distinct())
       .withColumn("__in_seen", lit(true))
     val pos = posRows
-      .join(broadcast(hits), Seq("url_hash", "canonical_url"), "left")
+      .join(hits, Seq("url_hash", "canonical_url"), "left")
       .withColumn("__dup", coalesce(col("__in_seen"), lit(false)))
       .drop("__in_seen")
     neg.unionByName(pos).drop("__maybe_seen")

@@ -240,7 +240,7 @@ object Crawler {
         $"entry.discovered_round".as("discovered_round"),
         $"salt", $"fetchSeq", $"status", $"kind", $"bytes",
         $"latencyMicros".as("latency_micros"), $"partition_id",
-        $"discovered", $"doc")
+        $"doc_id", $"payload")
     // bounded files ⇒ downstream scans parallelize evenly even though the
     // fetch partitioning is politeness-skewed (dominant court hosts)
     val fetchLogCount = Snapshots.writeTable(workDir, round, FetchLogTable, eventsRaw,
@@ -249,8 +249,8 @@ object Crawler {
     val events = Snapshots.readTable(spark, workDir, round, FetchLogTable)
 
     // one fused aggregate for every event-level metric. NB: `kind === "pdf"`
-    // not `doc.isNotNull` — the latter would drag the full nested doc struct
-    // through the scan just to test nullness
+    // not a payload probe — the scalar column keeps the binary payload out
+    // of this scan entirely
     val evAgg = events.agg(
       count(when($"status" === "ok", 1)).as("ok"),
       count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0)
@@ -273,13 +273,17 @@ object Crawler {
       .distinct()
 
     // ---- discoveries → next frontier + judgment metadata ----
+    // kind filter first: pdf payloads hold the span bytes and have no
+    // discoveries — the filter keeps them out of this scan entirely
     val discovered: Dataset[RawDiscovery] = okEvents
+      .filter($"kind" =!= "pdf")
       .select($"priority".as("parent_priority"), $"court".as("parent_court"),
-        $"query".as("parent_query"), $"page".as("parent_page"), $"discovered")
-      .as[(Long, String, String, Int, Seq[Synth.Discovered])]
-      .flatMap { case (pprio, pcourt, pquery, ppage, ds) =>
-        ds.map(d => RawDiscovery(pprio, pcourt, pquery, ppage, d.url, d.court, d.query,
-          d.page, d.depth, d.priority, d.caseNumber, d.title, d.date, d.rank))
+        $"query".as("parent_query"), $"page".as("parent_page"), $"payload")
+      .as[(Long, String, String, Int, Array[Byte])]
+      .flatMap { case (pprio, pcourt, pquery, ppage, payload) =>
+        graft.sources.Wire.decodeDiscovered(payload)
+          .map(d => RawDiscovery(pprio, pcourt, pquery, ppage, d.url, d.court, d.query,
+            d.page, d.depth, d.priority, d.caseNumber, d.title, d.date, d.rank))
       }
 
     val discoveredDF = discovered.toDF()
@@ -362,29 +366,34 @@ object Crawler {
     val nextFrontier = deferred.unionByName(retries).unionByName(nextNew)
 
     // ---- docs: D2 + D3 + segregation ----
-    // Wide-row discipline: the spans payload never enters a shuffle. All
-    // hashes are computed in ONE streaming pass over the spans
-    // (Dedup.docHashes, ~80 µs/doc), the D2/D3 keep-first windows and history
-    // anti-joins run on the NARROW hash frame (~150 B/row), and the surviving
-    // doc_ids are broadcast back onto the wide rows (docs-per-round is
-    // politeness-bounded, so the survivor set is always broadcastable).
-    // Shuffling spans through the four dedup exchanges instead measured 3×
-    // slower at local[32] and would be catastrophic at cluster scale.
+    // Wide-row discipline: the span payload never enters a shuffle and is
+    // only decoded twice — once STREAMED through the hash kernel
+    // (Dedup.docHashes over Wire-decoded spans, ~80 µs/doc), and once for
+    // dedup SURVIVORS at the docs-table write. The D2/D3 keep-first windows
+    // and history anti-joins run on the NARROW hash frame (~150 B/row), and
+    // the surviving doc_ids are broadcast back onto the payload rows
+    // (docs-per-round is politeness-bounded, so the survivor set is always
+    // broadcastable). Shuffling spans through the four dedup exchanges
+    // instead measured 3× slower at local[32] and would be catastrophic at
+    // cluster scale.
     val docsRaw = okEvents.filter($"kind" === "pdf")
-      .select($"doc.doc_id".as("doc_id"), $"doc.spans".as("spans"),
-        $"priority", $"court")
+      .select($"doc_id", $"payload", $"priority", $"court")
     val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
     val arrival = Seq($"priority", $"doc_id")
     val narrowHashed = docsRaw
-      .select($"doc_id", $"spans", $"priority", $"court")
-      .as[(String, Seq[Span], Long, String)]
-      .map { case (id, spans, prio, court) => Dedup.docHashes(id, prio, court, spans) }
+      .as[(String, Array[Byte], Long, String)]
+      .map { case (id, payload, prio, court) =>
+        Dedup.docHashes(id, prio, court, graft.sources.Wire.decodeSpans(payload)) }
       .toDF()
     val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
     val keptNarrow = Dedup.renderingDedup(
       d2Kept, Segregate.RenderingNames, docsHistory, arrival)
-    val docsKept = docsRaw.select($"doc_id", $"spans")
+    val decodeSpans = udf((b: Array[Byte]) => graft.sources.Wire.decodeSpans(b))
+    val docsKept = docsRaw.select($"doc_id", $"payload")
       .join(broadcast(keptNarrow), Seq("doc_id"))
+      .withColumn("spans", decodeSpans($"payload"))
+      .select((Seq($"doc_id", $"spans") ++
+        keptNarrow.columns.filter(_ != "doc_id").map(col).toSeq): _*)
     // write early, re-read (wide spans column — see eventsRaw note)
     val docsCount = Snapshots.writeTable(workDir, round, DocsTable, docsKept)
     tick("docs-dedup+write")

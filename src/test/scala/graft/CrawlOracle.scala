@@ -96,7 +96,14 @@ object CrawlOracle {
         math.min(cfg.saltMax, math.max(1, math.max(
           math.ceil(hostCounts(h).toDouble / cfg.budgetPerHost).toInt,
           math.ceil(hostCounts(h).toDouble / cfg.maxBucketRows).toInt)))
-      def bucketBudget(h: String): Int = math.max(1, cfg.budgetPerHost / saltFactor(h))
+      // strict split: Σ bucket budgets == budgetPerHost exactly (buckets
+      // below the remainder get one extra slot; with base 0, buckets past
+      // the remainder defer everything) — mirrors Politeness.schedule
+      def bucketBudget(h: String, salt: Int): Int = {
+        val sf = saltFactor(h)
+        val base = cfg.budgetPerHost / sf
+        base + (if (salt < cfg.budgetPerHost - base * sf) 1 else 0)
+      }
       def saltOf(e: OEntry): Int = java.lang.Math.floorMod(e.hash, saltFactor(e.host).toLong).toInt
 
       val byBucket = novel.groupBy(e => (e.host, saltOf(e)))
@@ -104,7 +111,7 @@ object CrawlOracle {
       val deferred = Vector.newBuilder[OEntry]
       byBucket.foreach { case ((_, salt), es) =>
         val sorted = es.sortBy(e => (e.priority, e.canonical))
-        val b = bucketBudget(es.head.host)
+        val b = bucketBudget(es.head.host, salt)
         sorted.take(b).zipWithIndex.foreach { case (e, i) => scheduled += ((e, salt, i)) }
         sorted.drop(b).foreach(deferred += _)
       }

@@ -156,9 +156,9 @@ class CrawlSpec extends AnyFunSuite {
     val perHostRound = log.groupBy($"round", $"host").count()
       .as[(Int, String, Long)].collect()
     perHostRound.foreach { case (r, h, n) =>
-      // ceil-division bucket budgets may exceed the host budget by < one
-      // bucket's worth; never by a full saltMax factor
-      assert(n <= cfg.budgetPerHost.toLong + cfg.saltMax,
+      // strict budget: the per-host cap is hard (reference's 25 req/min,
+      // AdobePDFExtractAPI.md:37) — bucket budgets sum exactly to it
+      assert(n <= cfg.budgetPerHost.toLong,
         s"round $r host $h fetched $n > budget")
     }
   }

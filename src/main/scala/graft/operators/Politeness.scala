@@ -3,11 +3,13 @@ package graft.operators
 import graft.model._
 import graft.sources.{Rng, Synth, SynthConfig}
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One frontier entry with its politeness-bucket assignment. */
-final case class Slotted(entry: FrontierEntry, salt: Int, budget: Int)
+/** One frontier entry with its politeness-bucket assignment. `drop` is a
+  * non-null reason ("dup" | "robots") for rows that ride the scheduling
+  * shuffle only to be counted — they bypass the heaps entirely. */
+final case class Slotted(entry: FrontierEntry, salt: Int, budget: Int, drop: String)
 
 /** A scheduled (or deferred) entry; `fetchSeq` is the in-bucket fetch order. */
 final case class Sched(entry: FrontierEntry, salt: Int, fetchSeq: Int, scheduled: Boolean)
@@ -57,12 +59,30 @@ object Politeness {
   def schedule(novel: Dataset[FrontierEntry], cfg: CrawlConfig): Dataset[Sched] = {
     val spark = novel.sparkSession
     import spark.implicits._
+    scheduleFlagged(novel.toDF().withColumn("__drop", lit(null).cast("string")), cfg)
+  }
 
-    // Host frequency → salt factor. The host set is small and bounded (it's a
-    // politeness table); broadcast-joined back onto the frontier.
+  /** [[schedule]] over a frame that also carries D1/robots rejects: rows with
+    * a non-null `__drop` reason pass straight through the scheduling shuffle
+    * (no heap admission) and come out as `Sched(entry.copy(status = reason),
+    * scheduled = false)`. This lets the crawler take EVERY per-round count
+    * (scheduled / deferred / dup / robots) from ONE aggregate over the sched
+    * frame instead of a separate count job over the flagged frontier — the
+    * separate job was pure fixed driver cost paid identically at every
+    * parallelism (VERDICT r2 "~8 s/wave fixed driver cost"). */
+  def scheduleFlagged(flagged: DataFrame, cfg: CrawlConfig): Dataset[Sched] = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
+    val entryCols = flagged.columns.filter(_ != "__drop")
+
+    // Host frequency → salt factor, over CLEAN rows only (drop rows must not
+    // perturb salting — the sequential oracle computes host counts from the
+    // novel set). The host set is small and bounded (it's a politeness
+    // table); broadcast-joined back onto the frontier.
     // salt factor = enough buckets for the politeness budget AND for task
     // parallelism (maxBucketRows) — a huge budget must not collapse a dominant
     // host onto one task (Model.CrawlConfig.maxBucketRows doc)
+    val novel = flagged.filter($"__drop".isNull)
     val hostSalts = novel.groupBy($"host").count()
       .withColumn("salt_factor",
         least(lit(cfg.saltMax),
@@ -79,14 +99,16 @@ object Politeness {
     // rows when parallelism salting out-split the budget (VERDICT r2 item 7).
     // Deterministic in (host counts, url_hash) → crawl order stays
     // parallelism-invariant; buckets beyond `rem` when base==0 defer all.
-    val slotted = novel
-      .join(broadcast(hostSalts), Seq("host"))
+    val slotted = flagged
+      .join(broadcast(hostSalts), Seq("host"), "left")
+      .withColumn("salt_factor", coalesce($"salt_factor", lit(1))) // all-drop hosts
       .withColumn("salt", pmod($"url_hash", $"salt_factor").cast("int"))
       .withColumn("__base", (lit(cfg.budgetPerHost) / $"salt_factor").cast("int"))
       .withColumn("budget",
         $"__base" + when($"salt" < lit(cfg.budgetPerHost) - $"__base" * $"salt_factor", 1)
           .otherwise(0))
-      .select(struct(novel.columns.map(col): _*).as("entry"), $"salt", $"budget")
+      .select(struct(entryCols.map(col): _*).as("entry"), $"salt", $"budget",
+        $"__drop".as("drop"))
       .as[Slotted]
 
     // Co-locate each (host, salt) bucket, then bounded top-k per bucket.
@@ -102,14 +124,20 @@ object Politeness {
         val ord = Ordering.by[Slotted, (Long, String)](s => (s.entry.priority, s.entry.canonical_url))
         val heaps = scala.collection.mutable.Map.empty[(String, Int), scala.collection.mutable.PriorityQueue[Slotted]]
         val deferredStream: Iterator[Sched] = it.flatMap { s =>
-          val heap = heaps.getOrElseUpdate((s.entry.host, s.salt),
-            scala.collection.mutable.PriorityQueue.empty[Slotted](ord))
-          heap.enqueue(s)
-          if (heap.size > s.budget) {
-            val evicted = heap.dequeue() // largest = lowest urgency
+          if (s.drop != null) {
+            // D1-dup / robots reject: counted, never admitted
             Iterator.single(
-              Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false))
-          } else Iterator.empty
+              Sched(s.entry.copy(status = s.drop), s.salt, -1, scheduled = false))
+          } else {
+            val heap = heaps.getOrElseUpdate((s.entry.host, s.salt),
+              scala.collection.mutable.PriorityQueue.empty[Slotted](ord))
+            heap.enqueue(s)
+            if (heap.size > s.budget) {
+              val evicted = heap.dequeue() // largest = lowest urgency
+              Iterator.single(
+                Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false))
+            } else Iterator.empty
+          }
         }
         deferredStream ++ heaps.valuesIterator.flatMap { heap =>
           val inOrder: Seq[Slotted] = heap.dequeueAll.reverse

@@ -257,12 +257,18 @@ object Segregate {
       sentenceCount(col("content")) >= minSents ||
         contentWordCount(col("content")) >= minWords)
 
+  // precompiled: String.split(String) recompiles multi-char regexes on every
+  // call — at millions of paragraphs/round that was two Pattern.compile per
+  // paragraph in the crawl hot path
+  private val sentBoundaryPattern = java.util.regex.Pattern.compile("[.!?]+(\\s+|$)")
+  private val nonLetterPattern = java.util.regex.Pattern.compile("[^\\p{L}]+")
+
   /** Typed twin of [[sentCountFilter]] (same regex semantics — pinned equal
     * in SegregateSpec); used in the crawler's hot path. */
   def sentKeepStr(content: String, minSents: Int = 3, minWords: Int = 30): Boolean = {
-    val sents = content.split("[.!?]+(\\s+|$)").count(_.trim.nonEmpty)
+    val sents = sentBoundaryPattern.split(content).count(_.trim.nonEmpty)
     if (sents >= minSents) return true
-    val words = content.toLowerCase.split("[^\\p{L}]+")
+    val words = nonLetterPattern.split(content.toLowerCase)
       .count(w => w.nonEmpty && !StopwordSet.contains(w))
     words >= minWords
   }

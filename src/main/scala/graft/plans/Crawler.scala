@@ -195,33 +195,36 @@ object Crawler {
       .filter($"__rn" === 1).drop("__rn")
 
     // ---- D1: URL-seen dedup (one probe projection + exact join) ----
-    // + C4 robots gate: denied URLs are flagged in the SAME projection and
-    // dropped before scheduling (north rule: robots enforced in the
-    // politeness layer). One fused aggregate replaces the bare count —
-    // still job 1.
+    // + C4 robots gate: denied URLs are flagged in the SAME projection
+    // (north rule: robots enforced in the politeness layer). Rejects are NOT
+    // counted in a separate job — they ride the scheduling shuffle as
+    // pass-through rows and every per-round count comes from ONE aggregate
+    // over sched (the old dedicated count job was fixed driver cost paid
+    // identically at every parallelism).
     val flagged = SeenSet.markDupes(pending, seen, filterDir(workDir),
       probeRepartition = cfg.probeRepartition, seenKeysUnique = true)
       .withColumn("__robots_denied",
         graft.operators.Robots.denied($"url", $"host", cfg.robots))
+      .withColumn("__drop",
+        when($"__dup", lit("dup")).when($"__robots_denied", lit("robots")))
+      .select((fCols.map(col) :+ $"__drop"): _*)
       .persist()
-    val d1Agg = flagged.agg(
-      count(lit(1)).as("pending"),
-      count(when(!$"__dup" && $"__robots_denied", 1)).as("denied")).collect()(0) // job 1
-    val (pendingCount, robotsDeniedCount) = (d1Agg.getLong(0), d1Agg.getLong(1))
     tick("d1-probe")
-    val novel = flagged.filter(!$"__dup" && !$"__robots_denied")
-      .select(fCols.map(col): _*).as[FrontierEntry]
 
     // ---- politeness scheduling + fetch ----
-    val sched = Politeness.schedule(novel, cfg).persist()
-    val schedCounts = sched.groupBy($"scheduled").count() // job 2
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val sched = Politeness.scheduleFlagged(flagged, cfg).persist()
+    val schedCounts = sched.groupBy($"entry.status", $"scheduled").count() // job 1
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
     tick("schedule")
-    val scheduledCount = schedCounts.getOrElse(true, 0L)
-    val deferredCount = schedCounts.getOrElse(false, 0L)
-    val dupUrlCount = pendingCount - scheduledCount - deferredCount - robotsDeniedCount
+    val scheduledCount = schedCounts.collect { case ((_, true), n) => n }.sum
+    val deferredCount = schedCounts.getOrElse(("deferred", false), 0L)
+    val dupUrlCount = schedCounts.getOrElse(("dup", false), 0L)
+    val robotsDeniedCount = schedCounts.getOrElse(("robots", false), 0L)
+    val pendingCount = schedCounts.valuesIterator.sum
 
-    val deferred = sched.filter(!_.scheduled).map(_.entry.copy(status = "pending"))
+    val deferred = sched
+      .filter(s => !s.scheduled && s.entry.status == "deferred")
+      .map(_.entry.copy(status = "pending"))
 
     // ---- fetch → durable events table (fetch_log) ----
     // The raw fetch output carries the doc spans — a WIDE frame. It is

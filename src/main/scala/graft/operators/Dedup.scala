@@ -102,7 +102,7 @@ object Dedup {
     * A streaming hash (vs xxhash64-of-built-string) is the point: the doc
     * kernel below never materializes a rendering string — it folds chars
     * straight into the lanes. */
-  private final class Fnv128 {
+  private[graft] final class Fnv128 {
     private var h1 = 0xcbf29ce484222325L
     private var h2 = 0x6c62272e07bb0142L
     @inline def update(c: Char): Unit = {
@@ -130,7 +130,7 @@ object Dedup {
 
   /** Chars the nodigits rendering strips: Java regex `(?U)\p{N}` =
     * DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER. */
-  @inline private def isNumberChar(c: Char): Boolean = {
+  @inline private[graft] def isNumberChar(c: Char): Boolean = {
     val t = Character.getType(c)
     t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
       t == Character.OTHER_NUMBER
@@ -151,7 +151,7 @@ object Dedup {
     *                  pinned vs the string renderings in HashingSpec)
     */
   def docHashes(docId: String, priority: Long, court: String, spans: Seq[graft.model.Span]): DocHashes = {
-    val sorted = spans.sortBy(_.offset)
+    val sorted = Segregate.sortedByOffset(spans)
     var sz = 0L
     val content = new Fnv128
     val plain = new Fnv128

@@ -112,9 +112,30 @@ object Politeness {
       .as[Slotted]
 
     // Co-locate each (host, salt) bucket, then bounded top-k per bucket.
+    //
+    // The within-frontier keep-first per canonical URL is FUSED into this
+    // shuffle: same canonical → same url_hash → same (host, salt) bucket, so
+    // a spillable within-partition sort by (canonical, priority, url) makes
+    // copies adjacent with the (priority, url)-minimal copy first, and a
+    // linear scan keeps exactly the survivor the old dedicated
+    // window-keep-first kept. This deletes one full-frontier exchange per
+    // round (the old plan shuffled the frontier by canonical_url for the
+    // window, then AGAIN here — the dominant pre-budget exchange volume at a
+    // 10^10 frontier, VERDICT r2 Performance #2).
     slotted
       .repartition(cfg.numPartitions, $"entry.host", $"salt")
-      .mapPartitions { it =>
+      .sortWithinPartitions($"entry.canonical_url", $"entry.priority", $"entry.url")
+      .mapPartitions { rows =>
+        // keep-first per canonical: copies are adjacent (sorted) and the
+        // best copy leads — O(1) state, losers dropped silently (exactly
+        // the old window's rn>1 filter)
+        var prevCanonical: String = null
+        val it = rows.filter { s =>
+          val c = s.entry.canonical_url
+          val keep = c != prevCanonical
+          prevCanonical = c
+          keep
+        }
         // per-bucket max-heap of size budget holding the *smallest* (priority, url).
         // Evicted (deferred) rows are STREAMED to the output as they fall out
         // of a heap — buffering them would be O(frontier/partition) memory,

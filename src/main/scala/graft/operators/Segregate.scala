@@ -28,9 +28,30 @@ object Segregate {
   // precompiled: String.replaceAll would recompile this on EVERY paragraph
   private val spacesPattern = java.util.regex.Pattern.compile("(?U)\\p{Z}+")
 
-  /** Precompiled starter test for typed kernels (Dedup.docHashes). */
-  def starterFind(text: String): Boolean =
-    starterPattern.pattern.matcher(text).find()
+  /** Starter test for typed kernels (Dedup.docHashes, segregateDoc): exact
+    * scan equivalent of [[StarterRegex]] `^(?U)\p{Z}*\p{N}+\p{Z}*\.` on code
+    * points. A scan instead of `Pattern.matcher`: the regex allocated one
+    * Matcher per text span in the crawl hot path, and since \p{Z}, \p{N} and
+    * '.' are pairwise disjoint the greedy pattern needs no backtracking —
+    * the scan is the regex. (Pinned equal to the Column `rlike` in
+    * SegregateSpec/HashingSpec.) */
+  def starterFind(text: String): Boolean = {
+    val n = text.length
+    var i = 0
+    @inline def isZ(t: Int) = t == Character.SPACE_SEPARATOR ||
+      t == Character.LINE_SEPARATOR || t == Character.PARAGRAPH_SEPARATOR
+    @inline def isN(t: Int) = t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    while (i < n && isZ(Character.getType(text.codePointAt(i))))
+      i += Character.charCount(text.codePointAt(i))
+    val digitStart = i
+    while (i < n && isN(Character.getType(text.codePointAt(i))))
+      i += Character.charCount(text.codePointAt(i))
+    if (i == digitStart) return false
+    while (i < n && isZ(Character.getType(text.codePointAt(i))))
+      i += Character.charCount(text.codePointAt(i))
+    i < n && text.charAt(i) == '.'
+  }
 
   // ---------- renderings (the "extractors" of our engine, SURVEY.md S9) ----------
 
@@ -78,8 +99,22 @@ object Segregate {
 
   private val digitsPattern = java.util.regex.Pattern.compile("(?U)\\p{N}+")
 
+  /** Spans arrive offset-ordered from every source in this engine — skip the
+    * per-doc sort copy when a linear check confirms it. */
+  private[graft] def sortedByOffset(spans: Seq[Span]): Seq[Span] = {
+    val it = spans.iterator
+    var prev = Int.MinValue
+    var sorted = true
+    while (sorted && it.hasNext) {
+      val o = it.next().offset
+      if (o < prev) sorted = false
+      prev = o
+    }
+    if (sorted) spans else spans.sortBy(_.offset)
+  }
+
   def renderPlainStr(spans: Seq[Span]): String =
-    spans.sortBy(_.offset).iterator
+    sortedByOffset(spans).iterator
       .filter(s => s.kind == "text" || s.kind == "heading")
       .map(_.text).mkString("\n\n")
 
@@ -87,11 +122,11 @@ object Segregate {
     digitsPattern.matcher(renderPlainStr(spans)).replaceAll("")
 
   def renderMarkedStr(spans: Seq[Span]): String =
-    spans.sortBy(_.offset).iterator
+    sortedByOffset(spans).iterator
       .filter(s => s.kind == "text" || s.kind == "heading")
       .map { s =>
         if (s.kind == "heading") "[Heading]\n" + s.text
-        else if (starterPattern.pattern.matcher(s.text).find()) "[Paragraph]\n" + s.text
+        else if (starterFind(s.text)) "[Paragraph]\n" + s.text
         else s.text
       }.mkString("\n\n")
 
@@ -124,14 +159,14 @@ object Segregate {
     var pageStart = 0
     var page = 0
     var seq = 0
-    spans.sortBy(_.offset).foreach { sp =>
+    sortedByOffset(spans).foreach { sp =>
       sp.kind match {
         case "table" | "image" => // skipped (adobe_json.py:35-37; images carry no text)
         case "heading" =>
           open = false; content.setLength(0); hasContent = false; reference = null
           page += 1 // heading ≈ page/section advance in the synthetic model
         case "text" if sp.text != null =>
-          val isStarter = starterPattern.pattern.matcher(sp.text).find()
+          val isStarter = starterFind(sp.text)
           if (isStarter) {
             if (open && hasContent) {
               seq += 1

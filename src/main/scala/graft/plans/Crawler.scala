@@ -186,13 +186,13 @@ object Crawler {
     val seen = seenAll(spark, workDir)
     val fCols = frontierCols(spark)
 
-    // within-frontier keep-first per canonical URL (deferred entries can
-    // coexist with re-discoveries of the same URL; the reference's D1 dedups
-    // within batch as well — two entries per URL would double-fetch)
-    val wFrontier = Window.partitionBy($"canonical_url").orderBy($"priority", $"url")
+    // Within-frontier keep-first per canonical URL (deferred entries can
+    // coexist with re-discoveries of the same URL; two entries per URL would
+    // double-fetch) is FUSED into the politeness shuffle — same canonical →
+    // same (host, salt) bucket, so Politeness.scheduleFlagged dedups with a
+    // within-partition sort instead of a dedicated full-frontier
+    // window-exchange here (one exchange per round instead of two).
     val pending = frontier.toDF()
-      .withColumn("__rn", row_number().over(wFrontier))
-      .filter($"__rn" === 1).drop("__rn")
 
     // ---- D1: URL-seen dedup (one probe projection + exact join) ----
     // + C4 robots gate: denied URLs are flagged in the SAME projection
@@ -251,15 +251,17 @@ object Crawler {
     tick("fetch+write-events")
     val events = Snapshots.readTable(spark, workDir, round, FetchLogTable)
 
-    // one fused aggregate for every event-level metric. NB: `kind === "pdf"`
-    // not a payload probe — the scalar column keeps the binary payload out
-    // of this scan entirely
-    val evAgg = events.agg(
+    // one fused aggregate for every event-level metric, submitted
+    // CONCURRENTLY (the result feeds only the report — Awaited at the end,
+    // off the critical path). NB: `kind === "pdf"` not a payload probe — the
+    // scalar column keeps the binary payload out of this scan entirely
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val evAggF = Future(events.agg(
       count(when($"status" === "ok", 1)).as("ok"),
-      count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0)
+      count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0))
     tick("ev-agg")
-    val (okCount, docsRawCount) = (evAgg.getLong(0), evAgg.getLong(1))
-    val failCount = fetchLogCount - okCount
 
     val okEvents = events.filter($"status" === "ok")
 
@@ -384,9 +386,13 @@ object Crawler {
     val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
     val arrival = Seq($"priority", $"doc_id")
     val narrowHashed = docsRaw
-      .as[(String, Array[Byte], Long, String)]
-      .map { case (id, payload, prio, court) =>
-        Dedup.docHashes(id, prio, court, graft.sources.Wire.decodeSpans(payload)) }
+      .select($"payload", $"priority", $"court")
+      .as[(Array[Byte], Long, String)]
+      .map { case (payload, prio, court) =>
+        // streaming kernel: hashes straight off the payload bytes — no Span
+        // objects, no Strings (the object-decode path measured 1.8× cpu and
+        // 10× GC inflation at 32 threads; allocation rate was the wall)
+        graft.sources.Wire.docHashesStreaming(prio, court, payload) }
       .toDF()
     val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
     val keptNarrow = Dedup.renderingDedup(
@@ -411,9 +417,6 @@ object Crawler {
     // interleave across the pool). Sequential submission serialized ~5 s of
     // small-job latency per round at every parallelism level — pure fixed
     // cost that the scaling ratio pays for twice.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // per-partition, per-host fetch metrics (north rule: per-partition
     // lineage + metrics; A5 download-size stats — bytes + latency per host).
     // Typed through RoundMetrics so the metrics table's schema is pinned.
@@ -435,6 +438,9 @@ object Crawler {
       JudgmentsTable -> judgCount,
       FetchLogTable -> fetchLogCount)
     tick("tail-writes")
+    val evAgg = Await.result(evAggF, Duration.Inf)
+    val (okCount, docsRawCount) = (evAgg.getLong(0), evAgg.getLong(1))
+    val failCount = fetchLogCount - okCount
     Snapshots.commitManifest(workDir, round, counts,
       lineage = Map(
         "report" ->
@@ -454,13 +460,17 @@ object Crawler {
       merge_requests = counts(MergeRequestsTable),
       new_paragraphs = counts(ParagraphsTable))
 
-    // bloom + cuckoo filters track the just-committed seen delta
+    // bloom + cuckoo filters track the just-committed seen delta; the two
+    // updates touch disjoint files and read the same tiny delta — run them
+    // concurrently (two more fixed jobs off the critical path)
     if (counts(SeenTable) > 0) {
       val committedSeenDelta =
         spark.read.parquet(Snapshots.tablePath(workDir, round, SeenTable))
-      SeenSet.addToFilters(committedSeenDelta, filterDir(workDir))
+      val fCuckoo = Future(SeenSet.addToFilters(committedSeenDelta, filterDir(workDir)))
+      val fBloom = Future(SeenSet.addToBloom(committedSeenDelta, filterDir(workDir)))
+      Await.result(fCuckoo, Duration.Inf)
       tick("cuckoo-update")
-      SeenSet.addToBloom(committedSeenDelta, filterDir(workDir))
+      Await.result(fBloom, Duration.Inf)
       tick("bloom-update")
     }
 

@@ -133,4 +133,194 @@ object Wire {
     val n = in.readInt()
     if (n > 0) in.skipBytes(n)
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming doc-hash kernel: computes Dedup.DocHashes DIRECTLY from the
+  // payload bytes — no Span objects, no Seq builders, no text Strings. The
+  // decode-to-objects path measured 1.8× cpu inflation + 10× GC inflation
+  // at 32 threads vs 8 (the allocation bus is the scaling wall); this
+  // kernel's only allocations are the four hash-lane objects and the final
+  // hex strings. Pinned bit-equal to Dedup.docHashes(decodeSpans(payload))
+  // in HashingSpec (incl. supplementary-plane code points).
+  // ---------------------------------------------------------------------
+
+  @inline private def readIntAt(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) | ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+
+  @inline private def skipStrAt(b: Array[Byte], p: Int): Int = {
+    val n = readIntAt(b, p)
+    if (n < 0) p + 4 else p + 4 + n
+  }
+
+  /** Stream the UTF-16 chars of the UTF-8 slice [start, end) into `f`.
+    * Returns the number of chars emitted. Exactly the char sequence of
+    * `new String(bytes, UTF_8)` for well-formed input (ours is: every slice
+    * was produced by String.getBytes(UTF_8)). */
+  private def foreachChar(b: Array[Byte], start: Int, end: Int)(f: Char => Unit): Int = {
+    var p = start
+    var count = 0
+    while (p < end) {
+      val b0 = b(p) & 0xFF
+      if (b0 < 0x80) { f(b0.toChar); p += 1; count += 1 }
+      else if (b0 < 0xE0) {
+        f((((b0 & 0x1F) << 6) | (b(p + 1) & 0x3F)).toChar); p += 2; count += 1
+      } else if (b0 < 0xF0) {
+        f((((b0 & 0x0F) << 12) | ((b(p + 1) & 0x3F) << 6) | (b(p + 2) & 0x3F)).toChar)
+        p += 3; count += 1
+      } else {
+        val cp = ((b0 & 0x07) << 18) | ((b(p + 1) & 0x3F) << 12) |
+          ((b(p + 2) & 0x3F) << 6) | (b(p + 3) & 0x3F)
+        f(Character.highSurrogate(cp)); f(Character.lowSurrogate(cp))
+        p += 4; count += 2
+      }
+    }
+    count
+  }
+
+  /** Code-point iterator step for the starter scan: returns (codePoint << 3)
+    * | byteLen packed, or -1 at end. */
+  @inline private def codePointAt(b: Array[Byte], p: Int, end: Int): Long = {
+    if (p >= end) return -1L
+    val b0 = b(p) & 0xFF
+    if (b0 < 0x80) (b0.toLong << 3) | 1L
+    else if (b0 < 0xE0) (((((b0 & 0x1F) << 6) | (b(p + 1) & 0x3F)).toLong) << 3) | 2L
+    else if (b0 < 0xF0)
+      (((((b0 & 0x0F) << 12) | ((b(p + 1) & 0x3F) << 6) | (b(p + 2) & 0x3F)).toLong) << 3) | 3L
+    else
+      ((((((b0 & 0x07) << 18) | ((b(p + 1) & 0x3F) << 12) | ((b(p + 2) & 0x3F) << 6) |
+        (b(p + 3) & 0x3F)).toLong) << 3) | 4L)
+  }
+
+  /** [[graft.operators.Segregate.starterFind]] on a UTF-8 slice:
+    * `^\p{Z}*\p{N}+\p{Z}*\.` over code points (no backtracking needed —
+    * the classes are pairwise disjoint). */
+  private def starterAt(b: Array[Byte], start: Int, end: Int): Boolean = {
+    @inline def isZ(t: Int) = t == Character.SPACE_SEPARATOR ||
+      t == Character.LINE_SEPARATOR || t == Character.PARAGRAPH_SEPARATOR
+    @inline def isN(t: Int) = t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    var p = start
+    var step = codePointAt(b, p, end)
+    while (step >= 0 && isZ(Character.getType((step >>> 3).toInt))) {
+      p += (step & 7L).toInt; step = codePointAt(b, p, end)
+    }
+    var digits = false
+    while (step >= 0 && isN(Character.getType((step >>> 3).toInt))) {
+      digits = true; p += (step & 7L).toInt; step = codePointAt(b, p, end)
+    }
+    if (!digits) return false
+    while (step >= 0 && isZ(Character.getType((step >>> 3).toInt))) {
+      p += (step & 7L).toInt; step = codePointAt(b, p, end)
+    }
+    step >= 0 && (step >>> 3) == '.'.toLong
+  }
+
+  private val KindText = "text"
+  private val KindHeading = "heading"
+  private val KindTable = "table"
+  private val KindImage = "image"
+
+  /** Match a UTF-8 slice against the four common span kinds without
+    * allocating (they are all ASCII). Falls back to a decoded String. */
+  private def kindOf(b: Array[Byte], start: Int, len: Int): String = {
+    @inline def is(s: String): Boolean = {
+      if (len != s.length) return false
+      var i = 0
+      while (i < len) { if (b(start + i) != s.charAt(i).toByte) return false; i += 1 }
+      true
+    }
+    if (is(KindText)) KindText
+    else if (is(KindHeading)) KindHeading
+    else if (is(KindTable)) KindTable
+    else if (is(KindImage)) KindImage
+    else new String(b, start, len, UTF_8)
+  }
+
+  /** Streaming twin of [[graft.operators.Dedup.docHashes]] over the payload
+    * bytes. Returns null when the payload carries no doc. Falls back to the
+    * object path if spans arrive offset-unsorted (never happens for Synth
+    * fetches — spans are generated in reading order — but the hash contract
+    * is sort-by-offset, so the contract is honored either way). */
+  def docHashesStreaming(priority: Long, court: String, payload: Array[Byte]): graft.operators.Dedup.DocHashes = {
+    if (payload == null) return null
+    var p = 0
+    require(payload(p) == Version, s"unknown wire version ${payload(0)}")
+    p += 1
+    var n = readIntAt(payload, p); p += 4
+    while (n > 0) { // skip the discovery block: 6 strings, 3 ints, 1 long
+      p = skipStrAt(payload, skipStrAt(payload, skipStrAt(payload, p)))
+      p += 16
+      p = skipStrAt(payload, skipStrAt(payload, skipStrAt(payload, p)))
+      p += 4
+      n -= 1
+    }
+    if (payload(p) == 0) return null
+    p += 1
+    val docIdLen = readIntAt(payload, p)
+    val docId = new String(payload, p + 4, docIdLen, UTF_8)
+    p += 4 + docIdLen
+
+    val nSpans = readIntAt(payload, p); p += 4
+    var sz = 0L
+    val content = new graft.operators.Dedup.Fnv128
+    val plain = new graft.operators.Dedup.Fnv128
+    val nodigits = new graft.operators.Dedup.Fnv128
+    val marked = new graft.operators.Dedup.Fnv128
+    var prefix = 0L
+    var firstSeen = false
+    var firstPiece = true
+    var prevOffset = Int.MinValue
+    var i = 0
+    while (i < nSpans) {
+      // field slices: kind, text, media_ref (each len-prefixed), then offset
+      val kindLen = readIntAt(payload, p); val kindStart = p + 4
+      p = kindStart + math.max(kindLen, 0)
+      val textLen = readIntAt(payload, p); val textStart = p + 4
+      p = textStart + math.max(textLen, 0)
+      val mediaLen = readIntAt(payload, p); val mediaStart = p + 4
+      p = mediaStart + math.max(mediaLen, 0)
+      val offset = readIntAt(payload, p); p += 4
+      if (offset < prevOffset) // out-of-order: honor the sort contract
+        return graft.operators.Dedup.docHashes(docId, priority, court, decodeSpans(payload))
+      prevOffset = offset
+
+      val kind = kindOf(payload, kindStart, math.max(kindLen, 0))
+      // content identity over all fields, with presence/field delimiters
+      // (mirrors Dedup.docHashes char for char)
+      content.updateStr(kind); content.update(0)
+      if (textLen >= 0)
+        sz += foreachChar(payload, textStart, textStart + textLen)(content.update)
+      else sz += 256L
+      content.update(1)
+      if (mediaLen >= 0) foreachChar(payload, mediaStart, mediaStart + mediaLen)(content.update)
+      content.update(2)
+      content.update((offset & 0xFFFF).toChar)
+      content.update(((offset >> 16) & 0xFFFF).toChar)
+      if (!firstSeen) { firstSeen = true; prefix = content.lane1 }
+
+      if ((kind eq KindText) || (kind eq KindHeading)) {
+        if (!firstPiece) {
+          plain.update('\n'); plain.update('\n')
+          nodigits.update('\n'); nodigits.update('\n')
+          marked.update('\n'); marked.update('\n')
+        }
+        firstPiece = false
+        if (kind eq KindHeading) marked.updateStr("[Heading]\n")
+        else if (textLen >= 0 && starterAt(payload, textStart, textStart + textLen))
+          marked.updateStr("[Paragraph]\n")
+        if (textLen < 0) { // "null" — matches the string renderings' mkString
+          plain.updateStr("null"); nodigits.updateStr("null"); marked.updateStr("null")
+        } else {
+          foreachChar(payload, textStart, textStart + textLen) { c =>
+            plain.update(c)
+            if (!graft.operators.Dedup.isNumberChar(c)) nodigits.update(c)
+            marked.update(c)
+          }
+        }
+      }
+      i += 1
+    }
+    graft.operators.Dedup.DocHashes(docId, priority, court, sz, prefix, content.hex,
+      plain.hex, nodigits.hex, marked.hex)
+  }
 }

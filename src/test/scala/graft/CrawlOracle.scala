@@ -83,15 +83,20 @@ object CrawlOracle {
 
     var round = 1
     while (frontier.nonEmpty && round <= maxRounds) {
-      // keep-first per canonical by (priority, url)
+      // The engine's host counts (salting input) see the per-copy
+      // non-dropped MULTISET — D1/robots flags are computed per copy of the
+      // raw frontier, and keep-first now happens later, inside the
+      // politeness buckets (post-salting)
+      val hostCounts = frontier.filter(e => !seen.contains(e.canonical) &&
+          !graft.operators.Robots.deniedStr(e.url, e.host, cfg.robots))
+        .groupBy(_.host).view.mapValues(_.size).toMap
+      // keep-first per canonical by (priority, url) over ALL copies (flagged
+      // ones included — the engine's bucket-local scan dedups before looking
+      // at drop reasons), then the SURVIVOR's flags decide routing
       val pending = frontier.groupBy(_.canonical).values
         .map(_.minBy(e => (e.priority, e.url))).toVector
-      // D1: novelty + C4 robots gate (mirrors Crawler.runRound)
       val novel = pending.filter(e => !seen.contains(e.canonical) &&
         !graft.operators.Robots.deniedStr(e.url, e.host, cfg.robots))
-
-      // politeness: salt factors from this round's host counts
-      val hostCounts = novel.groupBy(_.host).view.mapValues(_.size).toMap
       def saltFactor(h: String): Int =
         math.min(cfg.saltMax, math.max(1, math.max(
           math.ceil(hostCounts(h).toDouble / cfg.budgetPerHost).toInt,

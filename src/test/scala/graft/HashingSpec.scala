@@ -57,6 +57,56 @@ class HashingSpec extends AnyFunSuite {
     assert(keptCol === keptScala)
   }
 
+  test("Wire.docHashesStreaming equals Dedup.docHashes(decodeSpans) bit-for-bit") {
+    val cfg = SynthConfig()
+    val synthDocs = (0L until 40L).map(i => Doc(s"d$i", Synth.spansOf(cfg, i)))
+    // adversarial shapes: unicode (2/3-byte UTF-8), supplementary-plane code
+    // points (4-byte → surrogate pairs), unicode numerals/spaces in starter
+    // position, null text, null media_ref, empty doc
+    val weird = Seq(
+      Doc("w0", Seq(Span("text", "ü¶€ 12. düö", null, 0), Span("image", null, "m0", 1))),
+      Doc("w1", Seq(Span("text", " ١٢. arabic-indic starter", null, 0))),
+      Doc("w2", Seq(Span("text", "𐄇 supplementary 𐄇 pair", null, 0),
+        Span("heading", "H𝟙", null, 1), Span("text", "1. after ünïcode", null, 2))),
+      Doc("w3", Seq(Span("text", null, null, 0), Span("table", "t", null, 1))),
+      Doc("w4", Seq.empty),
+      Doc("w5", Seq(Span("heading", null, null, 0), Span("text", " 2 . dotted", null, 1))))
+    (synthDocs ++ weird).foreach { d =>
+      val payload = graft.sources.Wire.encode(Nil, Some(d))
+      val streamed = graft.sources.Wire.docHashesStreaming(7L, "c", payload)
+      val objects = Dedup.docHashes(d.doc_id, 7L, "c",
+        graft.sources.Wire.decodeSpans(payload))
+      assert(streamed === objects, s"streaming hash mismatch for ${d.doc_id}")
+    }
+  }
+
+  test("Wire round-trip: encode → decodeDiscovered/decodeDoc is identity") {
+    val ds = Seq(
+      Synth.Discovered("https://a.example.org/x?y=1", "c", "q", 2, 1, 99L, "CN/1", "Tü", "2022-01-01", 3),
+      Synth.Discovered("https://b.example.org/", null, null, -1, 2, -1L, null, null, null, -1))
+    val doc = Doc("D/1", Seq(Span("text", "body ünïcode 𐄇", null, 0), Span("image", null, "ref", 1)))
+    val p1 = graft.sources.Wire.encode(ds, Some(doc))
+    assert(graft.sources.Wire.decodeDiscovered(p1) === ds)
+    assert(graft.sources.Wire.decodeDoc(p1) === Some(doc))
+    val p2 = graft.sources.Wire.encode(ds, None)
+    assert(graft.sources.Wire.decodeDiscovered(p2) === ds)
+    assert(graft.sources.Wire.decodeDoc(p2) === None)
+    assert(graft.sources.Wire.encode(Nil, None) === null)
+    assert(graft.sources.Wire.decodeDiscovered(null) === Nil)
+    assert(graft.sources.Wire.decodeDoc(null) === None)
+  }
+
+  test("starterFind scan equals the StarterRegex") {
+    val pat = Segregate.StarterRegex.r.pattern
+    val cases = Seq(
+      "1. para", " 12 . x", " 1.", "a 1. b", ". dot first", "", " ",
+      "١٢. arabic", "Ⅻ. roman numeral", "①. circled", "12",
+      "12.", "  .", "1 2.", "𐄇. aegean number", " 1. ")
+    cases.foreach { s =>
+      assert(Segregate.starterFind(s) === pat.matcher(s).find(), s"mismatch on '$s'")
+    }
+  }
+
   test("docHashes is deterministic and discriminates content") {
     val cfg = SynthConfig()
     val a = Dedup.docHashes("x", 1L, "c", Synth.spansOf(cfg, 1L))

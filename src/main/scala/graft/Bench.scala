@@ -22,12 +22,24 @@ object Bench {
     "q_ann_bruteforce", "q_ann_srp", "q_segregate", "q_rendering_dedup",
     "q_ngram_jaccard", "q_w1_relational", "q_merge_judgments", "q_stats_full")
 
+  /** Scratch root for bench state (work dirs, shuffle files). Overridable via
+    * GRAFT_TMPDIR — pointing it at a tmpfs (/dev/shm) models per-node local
+    * storage whose bandwidth scales with node count, which a single shared
+    * virtual disk does not. */
+  private[graft] def tmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", tmpRoot.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -143,12 +155,12 @@ object Bench {
     val cfg = CrawlConfig(
       budgetPerHost = Int.MaxValue / 2, maxRetries = 3,
       numPartitions = cpus * 4, saltMax = 64)
-    val workDir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
+    val workDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-bench-$cpus").toString
 
     // frontier of n pdf URLs (dup plants via Synth's content arithmetic)
     // JIT/codegen warmup: one tiny untimed round in a scratch dir (at real
     // crawl scale, first-round warmup is noise; here it would be ~10% of F)
-    val warmDir = java.nio.file.Files.createTempDirectory(s"graft-warm-$cpus").toString
+    val warmDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-warm-$cpus").toString
     Crawler.runRound(spark, cfg, synthCfg, warmDir, 1, megaFrontier(spark, synthCfg, 4096, cpus))
 
     val frontier = megaFrontier(spark, synthCfg, n, cpus)
@@ -298,9 +310,9 @@ object Bench {
     val cfg = CrawlConfig(
       budgetPerHost = Int.MaxValue / 2, maxRetries = 3,
       numPartitions = cpus * 4, saltMax = 64)
-    val workDir = java.nio.file.Files.createTempDirectory(s"graft-growth-$cpus").toString
+    val workDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-growth-$cpus").toString
     // warmup round in a scratch dir (JIT/codegen, untimed)
-    val warmDir = java.nio.file.Files.createTempDirectory(s"graft-growth-warm").toString
+    val warmDir = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-growth-warm").toString
     Crawler.runRound(spark, cfg, synthCfg, warmDir, 1, megaFrontier(spark, synthCfg, 4096, cpus))
     val all = megaFrontier(spark, synthCfg, nPerRound * rounds, cpus)
     val out = (1 to rounds).map { r =>

@@ -12,7 +12,7 @@ object MegaProbe {
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val i = sc.stageInfo
             val dur = (for {s <- i.submissionTime; e <- i.completionTime} yield e - s).getOrElse(-1L)
-            if (dur > 2000) {
+            if (dur > sys.env.getOrElse("GRAFT_STAGES_MS", "2000").toLong) {
               val m = i.taskMetrics
               println(f"      [stage ${i.stageId}%4d] ${dur / 1000.0}%6.1fs tasks=${i.numTasks}%4d " +
                 f"cpu=${m.executorCpuTime / 1e9}%7.1fs run=${m.executorRunTime / 1e3}%7.1fs " +
@@ -22,7 +22,16 @@ object MegaProbe {
         })
       }
     }
-    val (urls, secs) = graft.Bench.crawlBenchProbe(cpus, n)
-    println(f"MEGA cpus=$cpus n=$n urls=$urls secs=$secs%.1f tput=${urls / secs}%.1f")
+    if (sys.env.contains("GRAFT_GROWTH")) {
+      // growth mode: args = cpus rounds nPerRound
+      val rounds = n
+      val nPer = if (args.length > 2) args(2).toInt else 100000
+      val secs = graft.Bench.growthBench(cpus, rounds, nPer)
+      secs.zipWithIndex.foreach { case (s, i) => println(f"GROWTH round ${i + 1}: $s%.1f s") }
+      println(f"GROWTH ratio_last_over_first=${secs.last / secs.head}%.3f")
+    } else {
+      val (urls, secs) = graft.Bench.crawlBenchProbe(cpus, n)
+      println(f"MEGA cpus=$cpus n=$n urls=$urls secs=$secs%.1f tput=${urls / secs}%.1f")
+    }
   }
 }

@@ -357,6 +357,43 @@ object SparkEntry {
         TF.langId(col("text")).as("predicted_lang"))
     }),
 
+    "q_sketch_invariance" -> ((s, dir) => {
+      // PROPERTY oracle for the three engine-hash sketches (their raw values
+      // are xxhash-specific, so q_simhash/q_minhash_candidates/q_fingerprint
+      // stay rows-only — but their INVARIANTS are exactly checkable): plant
+      // deterministic duplicates (docs 0..49 re-added under doc_id+10000,
+      // same text) and verify, per planted pair, that (a) MinHash+LSH
+      // candidate generation covers the pair — identical text ⇒ identical
+      // signature ⇒ every band matches, no probabilistic flake; (b) SimHash
+      // buckets agree (hamming 0); (c) winnowing fingerprints are identical.
+      // DuckDB derives the expected answer (all true) from text equality.
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d0.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val d = d0.unionByName(planted)
+      val a = d.select(col("doc_id").as("id_a"), col("text"))
+      val b = d.select(col("doc_id").as("id_b"), col("text"))
+      val exactPairs = a.join(b, "text")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val cands = Similarity.minhashNearDupPairs(d, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 16, threshold = 0.25)
+        .select(col("id_a"), col("id_b"), lit(true).as("c"))
+      val sk = d.select(col("doc_id"),
+        TF.simhash64(col("text")).as("sh"),
+        TF.fingerprint(col("text"), 5, 8).as("fp"))
+      val ska = sk.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("fp").as("fp_a"))
+      val skb = sk.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("fp").as("fp_b"))
+      exactPairs
+        .join(cands, Seq("id_a", "id_b"), "left")
+        .join(ska, "id_a").join(skb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("c"), lit(false)).as("minhash_covered"),
+          (col("sh_a") === col("sh_b")).as("same_simhash"),
+          TF.hamming64(col("sh_a"), col("sh_b")).cast("int").as("hamming"),
+          (col("fp_a") === col("fp_b")).as("same_fingerprint"))
+    }),
+
     // ---- similarity search ----
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -417,12 +454,16 @@ object SparkEntry {
       Segregate.paragraphsRelational(synthDocs(s))),
 
     "q_rendering_dedup" -> ((s, dir) => {
+      // output is (doc_id, sz) — hash-free, so the D2→D3 cascade is EXACTLY
+      // oracle-checkable: DuckDB replicates the chain on the rendering
+      // STRINGS themselves (equal strings ⇔ equal hashes w.h.p., and the
+      // oracle proves the grouping, survivor choice, and chain order)
       val docs = synthDocs(s)
       val hashed = Dedup.withStagedHashes(docs)
       val kept = Dedup.contentDedup(hashed, None, Seq(col("doc_id")))
       val survivors = Dedup.renderingDedup(
         kept, Segregate.RenderingNames, None, Seq(col("doc_id")))
-      survivors.select(col("doc_id"), col("sz"), col("content_hash"))
+      survivors.select(col("doc_id"), col("sz"))
     }),
 
     "q_media_features" -> ((s, dir) => {
@@ -685,15 +726,17 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 5""".stripMargin,
 
     "q_ann_srp" ->
-      // the SRP plane matrix is two Lehmer/MINSTD rounds in the 2^31-1 field
-      // (SrpBucketExpr) — every step fits BIGINT, so DuckDB reproduces the
-      // exact plane doubles, buckets, and cosine ranks (verified bit-exact)
+      // the SRP plane matrix is per-plane-seeded Lehmer/MINSTD arithmetic in
+      // the 2^31-1 field (SrpBucketExpr): seed_p=((p+1)*1103515245+42)%M,
+      // step_p=seed_p*48271%M+1, x0=(seed_p+(i+1)*step_p)%M, then two Lehmer
+      // rounds — every step fits BIGINT, so DuckDB reproduces the exact
+      // plane doubles, buckets, and cosine ranks (verified bit-exact)
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (
         |  SELECT vec_id, v,
         |    list_sum(list_transform(range(0, 4), p ->
         |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
-        |        v[i+1] * ((((((p*64+i) + 1) * 48271 + (42 % 2147483647)) % 2147483647) * 48271) % 2147483647 / 2147483647.0 * 2.0 - 1.0)
+        |        v[i+1] * (((((((p+1)*1103515245 + 42) % 2147483647 + (i+1) * (((p+1)*1103515245 + 42) % 2147483647 * 48271 % 2147483647 + 1)) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) / 2147483647.0 * 2.0 - 1.0)
         |      )) > 0 THEN 1 << (3 - p) ELSE 0 END)) AS bucket
         |  FROM e),
         |scored AS (
@@ -707,6 +750,54 @@ object SparkEntry {
         |  SELECT query_id, corpus_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q_sketch_invariance" ->
+      // the expected answer is derivable from text equality alone: identical
+      // text ⇒ identical minhash signature (every LSH band matches, est
+      // jaccard 1 ≥ threshold), identical simhash (hamming 0), identical
+      // winnowing fingerprint — so every planted/natural exact-dup pair must
+      // come back all-true from the engine's actual sketch pipeline
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  true AS minhash_covered, true AS same_simhash,
+        |  CAST(0 AS INT) AS hamming, true AS same_fingerprint
+        |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_rendering_dedup" ->
+      // exact replica of the D2→D3 cascade on rendering STRINGS: D2 groups
+      // by full span-content identity (sz + json of spans ≡ the engine's
+      // sz/prefix/content hash triple), then the three chained keep-firsts
+      // run on the plain / digit-stripped / marker-injected renderings in
+      // declared order, survivor = min doc_id (the engine's arrival order)
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(spans,
+         |      s -> CASE WHEN s.text IS NULL THEN 256 ELSE length(s.text) END)) AS BIGINT) AS sz,
+         |    CAST(to_json(spans) AS VARCHAR) AS content_key,
+         |    array_to_string(list_transform(
+         |      list_filter(spans, s -> s.kind IN ('text','heading')), s -> s.text), e'\\n\\n') AS plain,
+         |    array_to_string(list_transform(
+         |      list_filter(spans, s -> s.kind IN ('text','heading')),
+         |      s -> CASE WHEN s.kind = 'heading' THEN e'[Heading]\\n' || s.text
+         |                WHEN regexp_matches(s.text, '^\\p{Z}*\\p{N}+\\p{Z}*\\.') THEN e'[Paragraph]\\n' || s.text
+         |                ELSE s.text END), e'\\n\\n') AS marked
+         |  FROM read_parquet('$SynthDocsPath/*.parquet')),
+         |r2 AS (SELECT *, regexp_replace(plain, '\\p{N}+', '', 'g') AS nodigits FROM r),
+         |d2 AS (SELECT * FROM (SELECT *,
+         |         ROW_NUMBER() OVER (PARTITION BY sz, content_key ORDER BY doc_id) AS rn
+         |       FROM r2) WHERE rn = 1),
+         |d3a AS (SELECT * FROM (SELECT doc_id, sz, nodigits, marked,
+         |          ROW_NUMBER() OVER (PARTITION BY plain ORDER BY doc_id) AS rn
+         |        FROM d2) WHERE rn = 1),
+         |d3b AS (SELECT * FROM (SELECT doc_id, sz, marked,
+         |          ROW_NUMBER() OVER (PARTITION BY nodigits ORDER BY doc_id) AS rn
+         |        FROM d3a) WHERE rn = 1)
+         |SELECT doc_id, sz FROM (SELECT doc_id, sz,
+         |  ROW_NUMBER() OVER (PARTITION BY marked ORDER BY doc_id) AS rn
+         |FROM d3b) WHERE rn = 1""".stripMargin,
 
     "q_span_render" ->
       s"""WITH r AS (

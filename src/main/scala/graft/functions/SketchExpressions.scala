@@ -129,16 +129,21 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
-  /** Whitespace tokens of `lower(text)` as strings (for exact set sketches). */
+  /** Whitespace tokens of `lower(text)` as strings (for exact set sketches).
+    * Tokenizes on the SAME ASCII `\s` class as [[tokenHashes]] (Java regex
+    * `\s` = 0x09-0x0D + 0x20): the exact-Jaccard verification of LSH
+    * candidates must agree with candidate generation on what a token is,
+    * including on non-ASCII whitespace (which neither treats as a split). */
   def tokenStrings(text: UTF8String): Array[String] = {
     val lower = text.toLowerCase.toString
     val out = new java.util.ArrayList[String](16)
+    @inline def isWsChar(c: Char): Boolean = c == ' ' || (c >= '\t' && c <= '\r')
     var i = 0
     val len = lower.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(lower.charAt(i))) i += 1
+      while (i < len && isWsChar(lower.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(lower.charAt(i))) i += 1
+      while (i < len && !isWsChar(lower.charAt(i))) i += 1
       if (i > start) out.add(lower.substring(start, i))
     }
     out.toArray(new Array[String](out.size))
@@ -293,10 +298,11 @@ case class SigAgreementExpr(left: Expression, right: Expression)
 }
 
 /** Signed-random-projection bucket (cosine LSH): sign pattern of `planes`
-  * pseudo-random hyperplane dot products packed into a long. The plane matrix
-  * is derived from xxhash64 (deterministic, identical on every executor) and
-  * cached per expression instance — per row this is a pure `planes × dim`
-  * fused-multiply loop, not `planes × dim` hash evaluations. */
+  * pseudo-random hyperplane dot products packed into a long. The plane
+  * matrix is Lehmer/MINSTD arithmetic in the 2^31-1 field (deterministic,
+  * identical on every executor) and cached per expression instance — per row
+  * this is a pure `planes × dim` fused-multiply loop, not `planes × dim`
+  * hash evaluations. */
 case class SrpBucketExpr(child: Expression, planes: Int, dim: Int, seed: Long)
     extends UnaryExpression {
   require(planes <= 63, "bucket packs into a long")
@@ -305,20 +311,35 @@ case class SrpBucketExpr(child: Expression, planes: Int, dim: Int, seed: Long)
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // Plane component (p, i), idx = p*dim + i: two Lehmer/MINSTD rounds in the
-  // 2^31-1 field (public-domain constants, Park–Miller 1988), scaled to
-  // [-1, 1). Chosen over a 64-bit hash DELIBERATELY: every step fits i64
-  // with no wraparound, so a DuckDB oracle reproduces the exact doubles and
-  // q_ann_srp becomes oracle-checkable. Evaluated once per instance.
+  // Plane component (p, i): per-plane Lehmer seed AND per-plane stride, then
+  // two Lehmer/MINSTD rounds in the 2^31-1 field (public-domain constants,
+  // Park–Miller 1988), scaled to [-1, 1):
+  //   seed_p = ((p+1) * 1103515245 + seed) % M
+  //   step_p = seed_p * 48271 % M + 1
+  //   x0     = (seed_p + (i+1) * step_p) % M
+  //   value  = (x0 * 48271 % M) * 48271 % M / M * 2 - 1
+  // The per-plane stride is what decorrelates planes: the earlier
+  // idx-linear form (idx = p*dim+i) made every plane a shifted copy of the
+  // previous one — a lattice that skews bucket balance. Integer arithmetic
+  // over a 64-bit hash is chosen DELIBERATELY: every step fits i64 with no
+  // wraparound, so a DuckDB oracle reproduces the exact doubles and
+  // q_ann_srp stays oracle-checkable. Evaluated once per instance.
   @transient private lazy val planeMatrix: Array[Double] = {
     val m = new Array[Double](planes * dim)
     val mod = 2147483647L
-    var idx = 0
-    while (idx < m.length) {
-      val s0 = ((idx + 1).toLong * 48271L + (seed % mod)) % mod
-      val s1 = (s0 * 48271L) % mod
-      m(idx) = s1.toDouble / mod.toDouble * 2.0d - 1.0d
-      idx += 1
+    var p = 0
+    while (p < planes) {
+      val seedP = ((p + 1).toLong * 1103515245L + seed) % mod
+      val stepP = (seedP * 48271L) % mod + 1L
+      var i = 0
+      while (i < dim) {
+        val x0 = (seedP + (i + 1).toLong * stepP) % mod
+        val x1 = (x0 * 48271L) % mod
+        val x2 = (x1 * 48271L) % mod
+        m(p * dim + i) = x2.toDouble / mod.toDouble * 2.0d - 1.0d
+        i += 1
+      }
+      p += 1
     }
     m
   }

@@ -161,9 +161,11 @@ object TextFunctions {
 
   /** Signed-random-projection LSH bucket for cosine ANN: the sign pattern of
     * `planes` pseudo-random hyperplane dot products, packed into a long.
-    * Plane components are derived from xxhash64 (deterministic, identical on
-    * every executor) and cached per expression instance — per row this is a
-    * pure `planes × dim` multiply loop ([[SrpBucketExpr]]). */
+    * Plane components are per-plane-seeded Lehmer/MINSTD arithmetic in the
+    * 2^31-1 field (deterministic, identical on every executor, every step
+    * i64-exact so DuckDB reproduces them bit-for-bit) and cached per
+    * expression instance — per row this is a pure `planes × dim` multiply
+    * loop ([[SrpBucketExpr]]). */
   def srpBucket(embedding: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
     SketchFunctions.srpBucket(embedding, planes, dim, seed)
 }

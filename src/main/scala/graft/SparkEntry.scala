@@ -357,6 +357,23 @@ object SparkEntry {
         TF.langId(col("text")).as("predicted_lang"))
     }),
 
+    "q_neardup_dedup" -> ((s, dir) => {
+      // end-to-end near-dup path (sketch → exact verify → drop): plant
+      // near-duplicates (docs 0..29 re-added as doc_id+20000 with one token
+      // appended — 3-gram jaccard ≈ (n-2)/(n+1), far above the 0.6 decision
+      // threshold) and run the full Dedup.nearDupDedup chain. The planted
+      // copies must drop (their originals are earlier), everything else
+      // survives. The oracle replicates the DECISION rule — exact 3-gram
+      // jaccard ≥ 0.6 against any earlier doc — without the sketch, so the
+      // query also proves LSH candidate recall covers every true near-dup.
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d0.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      val d = d0.unionByName(planted)
+      Dedup.nearDupDedup(d, "doc_id", "text").select(col("doc_id"))
+    }),
+
     "q_sketch_invariance" -> ((s, dir) => {
       // PROPERTY oracle for the three engine-hash sketches (their raw values
       // are xxhash-specific, so q_simhash/q_minhash_candidates/q_fingerprint
@@ -750,6 +767,37 @@ object SparkEntry {
         |  SELECT query_id, corpus_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "q_neardup_dedup" ->
+      // decision-rule replica without the sketch: a doc drops iff some
+      // EARLIER doc shares exact 3-gram jaccard ≥ 0.6 with it; candidate
+      // pairs are found by shared-shingle join (the LSH-free equivalent)
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text || ' zzz' AS text
+        |  FROM documents WHERE doc_id < 30),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM d),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM tok),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |px AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT id_b FROM px
+        |  JOIN sh sa ON sa.doc_id = px.id_a
+        |  JOIN sh sb ON sb.doc_id = px.id_b
+        |  WHERE len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) > 0
+        |    AND CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.6)
+        |SELECT doc_id FROM d
+        |WHERE doc_id NOT IN (SELECT id_b FROM ver)""".stripMargin,
 
     "q_sketch_invariance" ->
       // the expected answer is derivable from text equality alone: identical

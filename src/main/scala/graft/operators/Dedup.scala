@@ -129,7 +129,17 @@ object Dedup {
   }
 
   /** Chars the nodigits rendering strips: Java regex `(?U)\p{N}` =
-    * DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER. */
+    * DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER.
+    *
+    * BMP-only BY DESIGN: this classifies UTF-16 code UNITS, so a
+    * supplementary-plane numeral (e.g. U+10107 AEGEAN NUMBER ONE, a
+    * surrogate pair) is NOT stripped — its surrogates type as SURROGATE —
+    * whereas the Column rendering's code-point regex would strip it. The
+    * typed kernel is the production hash definition (HashingSpec pins
+    * streaming ≡ object path on supplementary-plane inputs); the divergence
+    * from the Column regexp on non-BMP numerals only loosens the nodigits
+    * COLLISION space (two docs differing in Aegean numerals hash apart
+    * instead of together), never correctness of exact identity. */
   @inline private[graft] def isNumberChar(c: Char): Boolean = {
     val t = Character.getType(c)
     t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
@@ -201,6 +211,38 @@ object Dedup {
     }
     DocHashes(docId, priority, court, sz, prefix, content.hex,
       plain.hex, nodigits.hex, marked.hex)
+  }
+
+  /** Near-duplicate dedup over a text column — the crawl-side "D4" stage a
+    * training-data pipeline chains after exact content dedup (reference
+    * analog: the chained content checks of `process.py:114-122`, extended to
+    * fuzzy identity): MinHash+LSH candidate generation
+    * ([[Similarity.minhashNearDupPairs]], band equi-join — never all-pairs)
+    * → exact n-gram-Jaccard verification on the candidate slice ONLY
+    * ([[Similarity.verifyPairsJaccard]]) → drop every doc that has a
+    * VERIFIED earlier near-dup (arrival order = ascending id, the same
+    * keep-first discipline as D2/D3). Returns the surviving rows of `docs`.
+    *
+    * `estThreshold` prunes candidates on the signature-estimated jaccard
+    * (cheap, fixed-width); the DECISION runs on the exact jaccard of the
+    * texts, so the sketch can only cost recall, never precision. At 100 TB
+    * the candidate slice is the only place texts are joined pairwise. */
+  def nearDupDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      estThreshold: Double = 0.35,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val cands = Similarity.minhashNearDupPairs(
+      docs, idCol, textCol, shingleK, numHashes, bands, estThreshold)
+    val verified = Similarity.verifyPairsJaccard(cands, docs, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
+    // pairs have id_a < id_b: the later member of every verified pair drops
+    val drops = verified.select(col("id_b").as(idCol)).distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Add one hash column per rendering (computed in a single projection —

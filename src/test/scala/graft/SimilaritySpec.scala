@@ -91,6 +91,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.forall { case (q, c) => q != c })
   }
 
+  test("nearDupDedup: sketch→verify→drop keeps originals, drops planted near-dups, spares unrelated") {
+    // 20 long distinct docs; docs 0..4 get near-dup copies (one token
+    // appended, 3-gram jaccard ≈ (n-2)/(n+1) ≈ 0.9) under LATER ids; one
+    // unrelated doc shares a few tokens but sits far below the threshold
+    val base = (0 until 20).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 17 + j * 3) % 211}x$i").mkString(" ")
+      (i.toLong, words)
+    }
+    val nearDups = (0 until 5).map { i => (100L + i, base(i)._2 + " extra") }
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+    val survivors = graft.operators.Dedup.nearDupDedup(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors === (0 until 20).map(_.toLong).toSet,
+      "originals survive; planted near-dups (later arrival) drop; unrelated docs spared")
+    // decision is on the EXACT jaccard: a candidate pair below the decision
+    // threshold must NOT drop even if the sketch surfaced it
+    val weak = Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e k l m n o")).toDF("doc_id", "text")
+    val weakSurvivors = graft.operators.Dedup.nearDupDedup(weak, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(weakSurvivors === Set(0L, 1L), "sub-threshold candidate pairs both survive")
+  }
+
   test("minhashJaccard column agrees with signature agreement fraction") {
     val df = Seq(("a b c d e f g h", "a b c d e f x y")).toDF("x", "y")
       .select(TF.minhashJaccard(

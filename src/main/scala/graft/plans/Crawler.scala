@@ -88,9 +88,14 @@ object Crawler {
 
   def filterDir(workDir: String): String = s"$workDir/filters"
 
+  /** Seen table across all committed rounds (exact side of D1); None when no
+    * round has committed a seen delta yet (virgin store). */
+  def seenAllOpt(spark: SparkSession, workDir: String): Option[DataFrame] =
+    Snapshots.readDeltas(spark, workDir, SeenTable)
+
   /** Seen table across all committed rounds (exact side of D1). */
   def seenAll(spark: SparkSession, workDir: String): DataFrame =
-    Snapshots.readDeltas(spark, workDir, SeenTable)
+    seenAllOpt(spark, workDir)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -183,7 +188,7 @@ object Crawler {
       __t = now
     }
 
-    val seen = seenAll(spark, workDir)
+    val seenOpt = seenAllOpt(spark, workDir)
     val fCols = frontierCols(spark)
 
     // Within-frontier keep-first per canonical URL (deferred entries can
@@ -201,8 +206,16 @@ object Crawler {
     // pass-through rows and every per-round count comes from ONE aggregate
     // over sched (the old dedicated count job was fixed driver cost paid
     // identically at every parallelism).
-    val flagged = SeenSet.markDupes(pending, seen, filterDir(workDir),
-      probeRepartition = cfg.probeRepartition, seenKeysUnique = true)
+    // Virgin store (no committed seen delta): nothing can be a dup — skip
+    // the probe/join subplan entirely instead of running every row through
+    // the "missing filter ⇒ maybe-seen" conservative path (which would send
+    // the ENTIRE first-wave frontier through the exact-join chain).
+    val flagged = (seenOpt match {
+      case Some(seen) =>
+        SeenSet.markDupes(pending, seen, filterDir(workDir),
+          probeRepartition = cfg.probeRepartition, seenKeysUnique = true)
+      case None => pending.withColumn("__dup", lit(false))
+    })
       .withColumn("__robots_denied",
         graft.operators.Robots.denied($"url", $"host", cfg.robots))
       .withColumn("__drop",
@@ -279,17 +292,28 @@ object Crawler {
 
     // ---- discoveries → next frontier + judgment metadata ----
     // kind filter first: pdf payloads hold the span bytes and have no
-    // discoveries — the filter keeps them out of this scan entirely
-    val discovered: Dataset[RawDiscovery] = okEvents
-      .filter($"kind" =!= "pdf")
-      .select($"priority".as("parent_priority"), $"court".as("parent_court"),
-        $"query".as("parent_query"), $"page".as("parent_page"), $"payload")
-      .as[(Long, String, String, Int, Array[Byte])]
-      .flatMap { case (pprio, pcourt, pquery, ppage, payload) =>
-        graft.sources.Wire.decodeDiscovered(payload)
-          .map(d => RawDiscovery(pprio, pcourt, pquery, ppage, d.url, d.court, d.query,
-            d.page, d.depth, d.priority, d.caseNumber, d.title, d.date, d.rank))
-      }
+    // discoveries — the filter keeps them out of this scan entirely.
+    // When the round fetched ONLY pdfs (okCount == docsRawCount, known from
+    // the already-submitted event aggregate), the discovery source is an
+    // empty LocalRelation: the dozen downstream judgment-routing stages
+    // (windows, anti-joins, unions) collapse to no-task plans instead of
+    // running a full empty-input job pipeline — a pure fixed-cost cut in
+    // pdf-heavy rounds.
+    val evAgg = Await.result(evAggF, Duration.Inf)
+    val (okCount, docsRawCount) = (evAgg.getLong(0), evAgg.getLong(1))
+    val failCount = fetchLogCount - okCount
+    val discovered: Dataset[RawDiscovery] =
+      if (okCount == docsRawCount) spark.emptyDataset[RawDiscovery]
+      else okEvents
+        .filter($"kind" =!= "pdf")
+        .select($"priority".as("parent_priority"), $"court".as("parent_court"),
+          $"query".as("parent_query"), $"page".as("parent_page"), $"payload")
+        .as[(Long, String, String, Int, Array[Byte])]
+        .flatMap { case (pprio, pcourt, pquery, ppage, payload) =>
+          graft.sources.Wire.decodeDiscovered(payload)
+            .map(d => RawDiscovery(pprio, pcourt, pquery, ppage, d.url, d.court, d.query,
+              d.page, d.depth, d.priority, d.caseNumber, d.title, d.date, d.rank))
+        }
 
     val discoveredDF = discovered.toDF()
       .withColumn("priority",
@@ -438,9 +462,6 @@ object Crawler {
       JudgmentsTable -> judgCount,
       FetchLogTable -> fetchLogCount)
     tick("tail-writes")
-    val evAgg = Await.result(evAggF, Duration.Inf)
-    val (okCount, docsRawCount) = (evAgg.getLong(0), evAgg.getLong(1))
-    val failCount = fetchLogCount - okCount
     Snapshots.commitManifest(workDir, round, counts,
       lineage = Map(
         "report" ->

@@ -311,7 +311,15 @@ object Bench {
     val secs = growthBench(32, rounds, nPerRound)
     secs.zipWithIndex.foreach { case (s, i) =>
       System.err.println(f"[bench] growth round ${i + 1}: $s%.1f s") }
-    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"ratio_last_over_first":${secs.last / secs.head}%.3f}"""
+    // Weather-robust growth statistic: the shared-host VM swings ±50% on a
+    // minutes scale, so a single early/late round pair mostly measures
+    // weather. Compare the BEST of the first two rounds against the BEST of
+    // the last two (min is the standard noise-robust estimator for a fixed
+    // workload); the full per-round list is emitted for transparency.
+    val early = secs.take(2).min
+    val late = secs.takeRight(2).min
+    val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"ratio_late_over_early":${late / early}%.3f}"""
   }
 
   /** Run `rounds` consecutive crawl rounds in ONE work dir so history

@@ -419,21 +419,32 @@ object Crawler {
         graft.sources.Wire.docHashesStreaming(prio, court, payload) }
       .toDF()
     val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
+    // persisted: the survivor frame is consumed twice (docs-table write AND
+    // the paragraph pass) — without the persist the second consumer would
+    // re-run the whole hash+window+anti-join chain including a full payload
+    // re-scan. ~150 B/row, politeness-bounded: always cache-resident.
     val keptNarrow = Dedup.renderingDedup(
-      d2Kept, Segregate.RenderingNames, docsHistory, arrival)
+      d2Kept, Segregate.RenderingNames, docsHistory, arrival).persist()
     val decodeSpans = udf((b: Array[Byte]) => graft.sources.Wire.decodeSpans(b))
     val docsKept = docsRaw.select($"doc_id", $"payload")
       .join(broadcast(keptNarrow), Seq("doc_id"))
       .withColumn("spans", decodeSpans($"payload"))
       .select((Seq($"doc_id", $"spans") ++
         keptNarrow.columns.filter(_ != "doc_id").map(col).toSeq): _*)
-    // write early, re-read (wide spans column — see eventsRaw note)
     val docsCount = Snapshots.writeTable(workDir, round, DocsTable, docsKept)
     tick("docs-dedup+write")
-    val docsDelta = Snapshots.readTable(spark, workDir, round, DocsTable)
 
-    val paras = Segregate.paragraphsFiltered(
-      docsDelta.select($"doc_id", $"spans").as[Doc]).toDF()
+    // paragraphs stream from the SURVIVORS' payloads (Wire decode — the
+    // docs-table nested-parquet decode measured ~1.6× cpu inflation at 32
+    // threads on the same fold), joined against the persisted survivor ids
+    val paras = docsRaw.select($"doc_id", $"payload")
+      .join(broadcast(keptNarrow.select($"doc_id")), Seq("doc_id"))
+      .select($"payload").as[Array[Byte]]
+      .flatMap { payload =>
+        graft.sources.Wire.decodeDoc(payload).toSeq.flatMap(d =>
+          Segregate.segregateDoc(d.doc_id, "plain", d.spans)
+            .filter(p => Segregate.sentKeepStr(p.content)))
+      }.toDF()
 
     // ---- remaining tables + atomic manifest commit ----
     // The four remaining tables are independent of each other — submit their
@@ -498,7 +509,7 @@ object Crawler {
     val committedFrontier = spark.read
       .parquet(Snapshots.tablePath(workDir, round, FrontierTable)).as[FrontierEntry]
 
-    flagged.unpersist(); sched.unpersist(); discoveredDF.unpersist()
+    flagged.unpersist(); sched.unpersist(); discoveredDF.unpersist(); keptNarrow.unpersist()
     (report, committedFrontier, counts(FrontierTable))
   }
 

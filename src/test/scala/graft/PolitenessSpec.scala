@@ -43,4 +43,55 @@ class PolitenessSpec extends AnyFunSuite {
     // deferred rows keep their identity and are marked for the next round
     assert(deferred.forall(_.entry.status == "deferred"))
   }
+
+  private def bigHostFrontier(n: Int): org.apache.spark.sql.Dataset[FrontierEntry] =
+    spark.range(n.toLong).map { i =>
+      FrontierEntry(s"https://big.example.org/u/$i", s"https://big.example.org/u/$i",
+        i * 2654435761L, "big.example.org", "DHC", "q", 1, 0,
+        priority = i, status = "pending", retry_count = 0, discovered_round = 0)
+    }
+
+  test("strict budget: bucket budgets sum EXACTLY to budgetPerHost (remainder split)") {
+    // budget 5 over salt_factor 4 → buckets (salt 0) 2, (1..3) 1 each = 5
+    val cfg = CrawlConfig(budgetPerHost = 5, numPartitions = 4, saltMax = 4,
+      maxBucketRows = 250) // 1000 rows / 250 → salt_factor 4
+    val sched = Politeness.schedule(bigHostFrontier(1000), cfg).collect()
+    val scheduled = sched.filter(_.scheduled)
+    assert(scheduled.length === 5, "Σ bucket budgets must equal budgetPerHost")
+    val perSalt = scheduled.groupBy(_.salt).view.mapValues(_.length).toMap
+    assert(perSalt.getOrElse(0, 0) === 2)
+    assert(Seq(1, 2, 3).forall(s => perSalt.getOrElse(s, 0) === 1))
+  }
+
+  test("strict budget: parallelism salting beyond the budget leaves zero-budget buckets deferring all") {
+    // budget 2, but maxBucketRows forces 4 salt buckets → salts 0,1 get 1
+    // slot each, salts 2,3 get 0 and defer everything
+    val cfg = CrawlConfig(budgetPerHost = 2, numPartitions = 4, saltMax = 4,
+      maxBucketRows = 250)
+    val sched = Politeness.schedule(bigHostFrontier(1000), cfg).collect()
+    val scheduled = sched.filter(_.scheduled)
+    assert(scheduled.length === 2, "over-salting must not over-admit past the hard cap")
+    assert(scheduled.map(_.salt).toSet.subsetOf(Set(0, 1)))
+    assert(sched.count(!_.scheduled) === 998)
+  }
+
+  test("keep-first fused in the scheduling shuffle: duplicate canonicals collapse to the best copy") {
+    val n = 300
+    // every url appears twice: copy A priority i, copy B priority i+1000 —
+    // the (priority, url)-minimal copy must be the one admitted
+    val frontier = spark.range(n.toLong * 2).map { k =>
+      val i = (k % n).toInt
+      val prio = if (k < n) i.toLong else i.toLong + 1000L
+      FrontierEntry(s"https://big.example.org/u/$i", s"https://big.example.org/u/$i",
+        i * 2654435761L, "big.example.org", "DHC", "q", 1, 0,
+        priority = prio, status = "pending", retry_count = 0, discovered_round = 0)
+    }
+    val cfg = CrawlConfig(budgetPerHost = Int.MaxValue / 2, numPartitions = 4,
+      saltMax = 2, maxBucketRows = Int.MaxValue)
+    val sched = Politeness.schedule(frontier, cfg).collect()
+    val scheduled = sched.filter(_.scheduled)
+    assert(scheduled.length === n, "each canonical scheduled exactly once")
+    assert(scheduled.forall(_.entry.priority < 1000L), "the (priority,url)-minimal copy wins")
+    assert(sched.count(!_.scheduled) === 0, "losing copies drop silently (not deferred)")
+  }
 }

@@ -426,6 +426,24 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
     }),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup dedup, end to end: plant near-identical
+      // vectors (vec_id < 20 re-added as vec_id+10000 scaled by exactly 2 —
+      // a power-of-two scale is exact in float AND leaves both the SRP
+      // bucket and the cosine (= 1) bit-reproducible in DuckDB), run the
+      // bucket-scoped candidate → exact-cosine → keep-first drop chain.
+      // Planted copies must drop; natural in-bucket pairs ≥ 0.95 (if any)
+      // are computed identically by both engines.
+      val e0 = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e0.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val e = e0.unionByName(planted)
+      Similarity.embeddingNearDupDedup(e, "vec_id", "embedding",
+        dim = 64, planes = 4, minCosine = 0.95)
+        .select(col("vec_id"))
+    }),
+
     "q_embedding_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -703,6 +721,32 @@ object SparkEntry {
          |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
          |  FROM documents))""".stripMargin
     },
+
+    "q_embed_neardup" ->
+      // same per-plane-seeded Lehmer plane arithmetic as q_ann_srp; the
+      // planted scale-by-2 is exact in float, so bucket AND cosine match the
+      // engine bit-for-bit
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |  FROM e0 WHERE vec_id < 20),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |        v[i+1] * (((((((p+1)*1103515245 + 42) % 2147483647 + (i+1) * (((p+1)*1103515245 + 42) % 2147483647 * 48271 % 2147483647 + 1)) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) / 2147483647.0 * 2.0 - 1.0)
+        |      )) > 0 THEN 1 << (3 - p) ELSE 0 END)) AS bucket
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |  WHERE (CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(a.v, c.v) /
+        |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) END) >= 0.95)
+        |SELECT vec_id FROM d
+        |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT vec_id, label, len(embedding) AS dim,

@@ -84,6 +84,42 @@ object Similarity {
       .drop("text_a", "text_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs, SRP-bucket-scoped: candidates are
+    * rows sharing an SRP-LSH bucket (equi-join on the packed bucket long —
+    * the same map-only projection [[srpTopK]] uses; never all-pairs), exact
+    * cosine computed on the candidate slice, pairs at or above `minCosine`
+    * returned with id_a < id_b. Bucket-scoped BY DEFINITION: a high-cosine
+    * pair split across buckets is out of scope (recall tunes with `planes` —
+    * fewer planes → bigger buckets → higher recall), which is what makes the
+    * operator exactly oracle-checkable (the bucket rule is pure i64
+    * arithmetic a SQL engine can replicate). */
+  def embeddingNearDupPairs(
+      vecs: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      planes: Int = 8, minCosine: Double = 0.95): DataFrame = {
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), planes, dim))
+    val a = b.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val c = b.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Embedding near-dup DEDUP: drop every row with a bucket-scoped verified
+    * near-dup of smaller id ([[embeddingNearDupPairs]]; same keep-first
+    * discipline as [[graft.operators.Dedup.nearDupDedup]]). */
+  def embeddingNearDupDedup(
+      vecs: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      planes: Int = 8, minCosine: Double = 0.95): DataFrame = {
+    val drops = embeddingNearDupPairs(vecs, idCol, vecCol, dim, planes, minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    vecs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * The query side MUST be small — it is broadcast, so the corpus is
     * streamed map-side with no shuffle of the corpus itself; the only shuffle

@@ -113,6 +113,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(weakSurvivors === Set(0L, 1L), "sub-threshold candidate pairs both survive")
   }
 
+  test("embeddingNearDupDedup: scaled copies share a bucket, cosine 1, and drop; distinct vectors survive") {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    // power-of-two scale: exact in float → cosine exactly 1, same SRP bucket
+    val copies = (0 until 6).map(i => (200L + i, base(i)._2.map(_ * 4.0f)))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val survivors = graft.operators.Similarity
+      .embeddingNearDupDedup(df, "vec_id", "embedding", dim = 16, planes = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((200L until 206L).forall(!survivors.contains(_)), "scaled copies must drop")
+    assert((0 until 30).forall(i => survivors.contains(i.toLong) ||
+      // a natural high-cosine pair may drop the later member — verify reason
+      graft.operators.Similarity.embeddingNearDupPairs(df, "vec_id", "embedding", 16, 4)
+        .filter($"id_b" === i.toLong).count() > 0))
+  }
+
   test("minhashJaccard column agrees with signature agreement fraction") {
     val df = Seq(("a b c d e f g h", "a b c d e f x y")).toDF("x", "y")
       .select(TF.minhashJaccard(

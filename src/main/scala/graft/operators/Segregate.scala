@@ -23,7 +23,6 @@ object Segregate {
   /** Leading numeral chain, e.g. "1. 2." → reference field (`adobe_json.py:44-47`). */
   val ReferenceRegex = "^((?:(?U)\\p{N}+\\p{Z}*\\.)+)"
 
-  private val starterPattern = StarterRegex.r
   private val referencePattern = ReferenceRegex.r
   // precompiled: String.replaceAll would recompile this on EVERY paragraph
   private val spacesPattern = java.util.regex.Pattern.compile("(?U)\\p{Z}+")

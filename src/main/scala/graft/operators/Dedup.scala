@@ -64,19 +64,26 @@ object Dedup {
   }
 
   /** Drop rows of `batch` whose `keys` appear in `history`, with HISTORY
-    * NEVER SHUFFLED: semi-join history against the (round-bounded, small)
-    * batch key set — AQE broadcasts the small side, so history is scanned
-    * map-side, column-pruned, exchange-free — then anti-join the batch
-    * against the (≤ batch-sized) hit set. The earlier
+    * NEVER SHUFFLED: semi-join history against the broadcast batch key set,
+    * so history is scanned map-side, column-pruned, exchange-free — then
+    * anti-join the batch against the broadcast hit set. The earlier
     * `history.distinct()` + left_anti shape shuffled and aggregated the
     * ENTIRE accumulated history every round (linear growth with crawl age —
     * VERDICT r2 Performance #3); left_anti is duplicate-tolerant, so the
-    * distinct was pure waste. No forced broadcast hints: the hit set is
-    * bounded by the batch, and AQE picks broadcast from its runtime size. */
+    * distinct was pure waste.
+    *
+    * The broadcast hints are deliberate and SAFE here (unlike the seen-set
+    * hit path, where rediscovery rate is unbounded): `batchKeys` is this
+    * round's doc batch — politeness-bounded by construction — and `hits` is
+    * a subset of it. Without the hint, Catalyst's post-window stats make it
+    * plan a sort-merge join whose map side shuffle-WRITES the whole history
+    * before AQE's late broadcast conversion can kick in (caught by
+    * HistoryPlanSpec, which walks the final adaptive plan). */
   private def antiHistory(batch: DataFrame, history: DataFrame, keys: Seq[String]): DataFrame = {
     val batchKeys = batch.select(keys.map(col): _*)
-    val hits = history.select(keys.map(col): _*).join(batchKeys, keys, "left_semi")
-    batch.join(hits, keys, "left_anti")
+    val hits = history.select(keys.map(col): _*)
+      .join(broadcast(batchKeys), keys, "left_semi")
+    batch.join(broadcast(hits), keys, "left_anti")
   }
 
   /** Per-rendering hash column name in the docs table. */

@@ -14,7 +14,12 @@ object MemProbe {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val perThreadLongs = 8 * 1024 * 1024 // 64 MiB per thread
-    val reps = math.max(4, 96 / cpus)    // equal total traffic per level
+    // fixed ~64 GiB total traffic per measurement regardless of width: a
+    // sub-100 ms sweep measured garbage (one driver-bench window reported
+    // 147 GB/s at 32 cores and 16 GB/s at 8 — pure weather aliasing); ~1-2 s
+    // per pass averages over scheduler noise
+    val stripeBytes = perThreadLongs.toLong * 8L
+    val reps = math.max(8L, (64L << 30) / (stripeBytes * cpus)).toInt
     val arr = new Array[Long](perThreadLongs * cpus)
     java.util.Arrays.fill(arr, 3L)
     val sums = new java.util.concurrent.atomic.AtomicLong()

@@ -150,11 +150,13 @@ object Bench {
       courts = 4, queriesPerCourt = 8, pagesPerQuery = 4,
       rowsPerPage = math.max(1, n / (4 * 8 * 4)), failRate = 0.0)
     // saltMax 64: the dominant court hosts must split into enough buckets
-    // that no politeness bucket dominates a task (skew control); 4×cpus
-    // partitions keep every thread fed across the bucket distribution
+    // that no politeness bucket dominates a task (skew control); 8×cpus
+    // partitions give ~one bucket per task (at 4×cpus, 152 buckets over 128
+    // partitions put TWO buckets on some tasks — a built-in 2× straggler in
+    // every fetch wave's last task wave)
     val cfg = CrawlConfig(
       budgetPerHost = Int.MaxValue / 2, maxRetries = 3,
-      numPartitions = cpus * 4, saltMax = 64)
+      numPartitions = cpus * 8, saltMax = 64)
     val workDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-bench-$cpus").toString
 
     // frontier of n pdf URLs (dup plants via Synth's content arithmetic)

@@ -136,33 +136,58 @@ object Politeness {
           prevCanonical = c
           keep
         }
-        // per-bucket max-heap of size budget holding the *smallest* (priority, url).
-        // Evicted (deferred) rows are STREAMED to the output as they fall out
-        // of a heap — buffering them would be O(frontier/partition) memory,
-        // which OOMs on a 10^10 frontier with tight budgets. Task memory here
-        // is O(buckets × budget), period. Iterator.++ is by-name, so the
-        // scheduled drain below runs only after the input is exhausted.
-        val ord = Ordering.by[Slotted, (Long, String)](s => (s.entry.priority, s.entry.canonical_url))
-        val heaps = scala.collection.mutable.Map.empty[(String, Int), scala.collection.mutable.PriorityQueue[Slotted]]
+        // per-bucket bounded selection of the *smallest* (priority, url):
+        // rows accumulate in a plain buffer until the bucket exceeds its
+        // budget — only THEN is the buffer heapified and further arrivals
+        // evict through the max-heap, with evicted (deferred) rows STREAMED
+        // to the output as they fall out (buffering them would be
+        // O(frontier/partition) memory, which OOMs on a 10^10 frontier with
+        // tight budgets). Task memory is O(buckets × budget), period; the
+        // under-budget fast path (every bucket of an unthrottled wave) pays
+        // one array sort at drain instead of per-row heap churn. The
+        // comparator is field-direct — an Ordering.by tuple allocated two
+        // objects per comparison in the hottest loop of the round.
+        // Iterator.++ is by-name, so the drain runs after input exhaustion.
+        val ord: Ordering[Slotted] = new Ordering[Slotted] {
+          def compare(a: Slotted, b: Slotted): Int = {
+            val c = java.lang.Long.compare(a.entry.priority, b.entry.priority)
+            if (c != 0) c else a.entry.canonical_url.compareTo(b.entry.canonical_url)
+          }
+        }
+        final class Bucket {
+          var buf = new scala.collection.mutable.ArrayBuffer[Slotted](16)
+          var heap: scala.collection.mutable.PriorityQueue[Slotted] = null
+          /** Returns the evicted row, or null. */
+          def add(s: Slotted): Slotted = {
+            if (heap == null) {
+              buf += s
+              if (buf.length <= s.budget) return null
+              heap = scala.collection.mutable.PriorityQueue.empty[Slotted](ord)
+              buf.foreach(heap.enqueue(_))
+              buf = null
+            } else heap.enqueue(s)
+            heap.dequeue() // largest = lowest urgency
+          }
+          def drain: Iterator[Slotted] =
+            if (heap == null) buf.sortInPlace()(ord).iterator
+            else heap.dequeueAll.reverseIterator
+        }
+        val heaps = scala.collection.mutable.Map.empty[(String, Int), Bucket]
         val deferredStream: Iterator[Sched] = it.flatMap { s =>
           if (s.drop != null) {
             // D1-dup / robots reject: counted, never admitted
             Iterator.single(
               Sched(s.entry.copy(status = s.drop), s.salt, -1, scheduled = false))
           } else {
-            val heap = heaps.getOrElseUpdate((s.entry.host, s.salt),
-              scala.collection.mutable.PriorityQueue.empty[Slotted](ord))
-            heap.enqueue(s)
-            if (heap.size > s.budget) {
-              val evicted = heap.dequeue() // largest = lowest urgency
+            val evicted = heaps.getOrElseUpdate((s.entry.host, s.salt), new Bucket).add(s)
+            if (evicted != null)
               Iterator.single(
                 Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false))
-            } else Iterator.empty
+            else Iterator.empty
           }
         }
-        deferredStream ++ heaps.valuesIterator.flatMap { heap =>
-          val inOrder: Seq[Slotted] = heap.dequeueAll.reverse
-          inOrder.iterator.zipWithIndex.map { case (s: Slotted, i: Int) =>
+        deferredStream ++ heaps.valuesIterator.flatMap { bucket =>
+          bucket.drain.zipWithIndex.map { case (s: Slotted, i: Int) =>
             Sched(s.entry, s.salt, i, scheduled = true)
           }
         }

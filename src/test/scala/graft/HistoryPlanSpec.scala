@@ -107,6 +107,33 @@ class HistoryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-row discipline: spans/payload columns never ride a shuffle exchange in a real crawl") {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val dir = java.nio.file.Files.createTempDirectory("graft-widerow").toString
+    try {
+      graft.plans.Crawler.run(spark,
+        graft.model.CrawlConfig(budgetPerHost = 64, numPartitions = 4, saltMax = 4),
+        graft.sources.SynthConfig(courts = 2, queriesPerCourt = 2, pagesPerQuery = 2, rowsPerPage = 5),
+        dir, maxRounds = 4)
+      Thread.sleep(3000) // the QueryExecutionListener bus is asynchronous
+      val plans = captured.synchronized { captured.toVector }
+      assert(plans.nonEmpty, "listener captured no query executions")
+      val offenders = plans.flatMap(flatten).collect {
+        case s: ShuffleExchangeLike
+            if s.output.exists(a => a.name == "spans" || a.name == "payload" || a.name == "doc") =>
+          s.output.map(_.name).mkString(",")
+      }
+      assert(offenders.isEmpty,
+        s"span/payload data must never be shuffled (narrow-hash dedup + broadcast-back): $offenders")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("D1: the seen table is scanned map-side, never shuffled, in markDupes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-seenplan").toString
     spark.range(80000L).select(

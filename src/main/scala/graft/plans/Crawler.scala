@@ -425,14 +425,22 @@ object Crawler {
     // re-scan. ~150 B/row, politeness-bounded: always cache-resident.
     val keptNarrow = Dedup.renderingDedup(
       d2Kept, Segregate.RenderingNames, docsHistory, arrival).persist()
+    // Materialize the survivor cache NOW (one cheap count over the narrow
+    // frame drives the hash+window+anti-join chain exactly once), so the two
+    // heavy consumers below — the wide docs-table write and the paragraph
+    // fold — can run as CONCURRENT jobs without racing to compute it. Before
+    // this, the docs write ran to completion before the tail group started:
+    // at 800k URLs/32 threads that serialized the two biggest remaining
+    // phases (docs 17.8 s THEN tail 23.7 s) back to back.
+    keptNarrow.count()
+    tick("docs-dedup")
     val decodeSpans = udf((b: Array[Byte]) => graft.sources.Wire.decodeSpans(b))
     val docsKept = docsRaw.select($"doc_id", $"payload")
       .join(broadcast(keptNarrow), Seq("doc_id"))
       .withColumn("spans", decodeSpans($"payload"))
       .select((Seq($"doc_id", $"spans") ++
         keptNarrow.columns.filter(_ != "doc_id").map(col).toSeq): _*)
-    val docsCount = Snapshots.writeTable(workDir, round, DocsTable, docsKept)
-    tick("docs-dedup+write")
+    val docsWriteF = Future(Snapshots.writeTable(workDir, round, DocsTable, docsKept))
 
     // paragraphs stream from the SURVIVORS' payloads (Wire decode — the
     // docs-table nested-parquet decode measured ~1.6× cpu inflation at 32
@@ -469,10 +477,11 @@ object Crawler {
       MetricsTable -> Future(Snapshots.writeTable(workDir, round, MetricsTable, metrics)),
       ParagraphsTable -> Future(Snapshots.writeTable(workDir, round, ParagraphsTable, paras)))
     val counts = writes.map { case (t, f) => t -> Await.result(f, Duration.Inf) } ++ Map(
-      DocsTable -> docsCount,
+      DocsTable -> Await.result(docsWriteF, Duration.Inf),
       JudgmentsTable -> judgCount,
       FetchLogTable -> fetchLogCount)
     tick("tail-writes")
+    val docsCount = counts(DocsTable)
     Snapshots.commitManifest(workDir, round, counts,
       lineage = Map(
         "report" ->

@@ -302,6 +302,32 @@ object Crawler {
     val evAgg = Await.result(evAggF, Duration.Inf)
     val (okCount, docsRawCount) = (evAgg.getLong(0), evAgg.getLong(1))
     val failCount = fetchLogCount - okCount
+
+    // ---- docs-hash chain, launched CONCURRENTLY with the judgment routing
+    // below (independent given the committed fetch log): the survivor-hash
+    // materialization is the docs pipeline's long pole and fully overlaps
+    // the discovery/judgment windows ----
+    val docsRaw = okEvents.filter($"kind" === "pdf")
+      .select($"doc_id", $"payload", $"priority", $"court")
+    val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
+    val arrival = Seq($"priority", $"doc_id")
+    val narrowHashed = docsRaw
+      .select($"payload", $"priority", $"court")
+      .as[(Array[Byte], Long, String)]
+      .map { case (payload, prio, court) =>
+        // streaming kernel: hashes straight off the payload bytes — no Span
+        // objects, no Strings (the object-decode path measured 1.8× cpu and
+        // 10× GC inflation at 32 threads; allocation rate was the wall)
+        graft.sources.Wire.docHashesStreaming(prio, court, payload) }
+      .toDF()
+    val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
+    // persisted: the survivor frame is consumed twice (docs-table write AND
+    // the paragraph pass) — without the persist the second consumer would
+    // re-run the whole hash+window+anti-join chain including a full payload
+    // re-scan. ~150 B/row, politeness-bounded: always cache-resident.
+    val keptNarrow = Dedup.renderingDedup(
+      d2Kept, Segregate.RenderingNames, docsHistory, arrival).persist()
+    val keptMaterializedF = Future(keptNarrow.count())
     val discovered: Dataset[RawDiscovery] =
       if (okCount == docsRawCount) spark.emptyDataset[RawDiscovery]
       else okEvents
@@ -405,34 +431,10 @@ object Crawler {
     // broadcastable). Shuffling spans through the four dedup exchanges
     // instead measured 3× slower at local[32] and would be catastrophic at
     // cluster scale.
-    val docsRaw = okEvents.filter($"kind" === "pdf")
-      .select($"doc_id", $"payload", $"priority", $"court")
-    val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
-    val arrival = Seq($"priority", $"doc_id")
-    val narrowHashed = docsRaw
-      .select($"payload", $"priority", $"court")
-      .as[(Array[Byte], Long, String)]
-      .map { case (payload, prio, court) =>
-        // streaming kernel: hashes straight off the payload bytes — no Span
-        // objects, no Strings (the object-decode path measured 1.8× cpu and
-        // 10× GC inflation at 32 threads; allocation rate was the wall)
-        graft.sources.Wire.docHashesStreaming(prio, court, payload) }
-      .toDF()
-    val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
-    // persisted: the survivor frame is consumed twice (docs-table write AND
-    // the paragraph pass) — without the persist the second consumer would
-    // re-run the whole hash+window+anti-join chain including a full payload
-    // re-scan. ~150 B/row, politeness-bounded: always cache-resident.
-    val keptNarrow = Dedup.renderingDedup(
-      d2Kept, Segregate.RenderingNames, docsHistory, arrival).persist()
-    // Materialize the survivor cache NOW (one cheap count over the narrow
-    // frame drives the hash+window+anti-join chain exactly once), so the two
-    // heavy consumers below — the wide docs-table write and the paragraph
-    // fold — can run as CONCURRENT jobs without racing to compute it. Before
-    // this, the docs write ran to completion before the tail group started:
-    // at 800k URLs/32 threads that serialized the two biggest remaining
-    // phases (docs 17.8 s THEN tail 23.7 s) back to back.
-    keptNarrow.count()
+    // The survivor materialization was launched as a concurrent job before
+    // the judgments chain — by the time the routing windows finish, the
+    // hash scan is done or nearly so.
+    Await.result(keptMaterializedF, Duration.Inf)
     tick("docs-dedup")
     val decodeSpans = udf((b: Array[Byte]) => graft.sources.Wire.decodeSpans(b))
     val docsKept = docsRaw.select($"doc_id", $"payload")

@@ -314,11 +314,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
-    // ---- text-dedup sketches (Spark-only: hash functions differ by engine) ----
+    // ---- text-dedup sketches. The sketch queries run the kernels in
+    // PORTABLE (oracle-mode) hash arithmetic — Lehmer/MINSTD folds in the
+    // 2^31-1 field, every step i64-exact — so DuckDB reproduces the raw
+    // sketch values bit-for-bit (engine default elsewhere stays xxhash64;
+    // structure — tokenization, shingling, bands, bit fold — is identical
+    // between modes and q_sketch_invariance pins the default mode). ----
     "q_minhash_candidates" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val pairs = Similarity.minhashNearDupPairs(d, "doc_id", "text",
-        shingleK = 3, numHashes = 32, bands = 16, threshold = 0.25)
+        shingleK = 3, numHashes = 32, bands = 16, threshold = 0.25, portable = true)
       // per-doc candidate count (left join keeps all docs → rows>0 always)
       d.select(col("doc_id"))
         .join(pairs.groupBy(col("id_a").as("doc_id"))
@@ -328,7 +333,7 @@ object SparkEntry {
 
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TF.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), TF.simhash64(col("text"), portable = true).as("simhash"))
         .withColumn("bucket", shiftrightunsigned(col("simhash"), 52))
     }),
 
@@ -346,7 +351,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TF.fingerprint(col("text"), 5, 8).as("fp"))
+          TF.fingerprint(col("text"), 5, 8, portable = true).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("fp_size"),
           element_at(col("fp"), 1).as("fp_min"))
     }),
@@ -516,7 +521,96 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same column names; same
     * exact-decimal-then-double arithmetic). Spark-only entries (hash
     * sketches, span operators) are intentionally absent → rows-only check. */
+  // ---------------------------------------------------------------------
+  // Portable-sketch oracles: DuckDB replicas of the oracle-mode (Lehmer
+  // i64-arithmetic) sketch kernels — every intermediate fits BIGINT, so the
+  // raw sketch values are bit-exact across engines (same scheme that made
+  // q_ann_srp exactly oracle-checkable). The CTE prefix reproduces
+  // SketchKernels.tokenHashesPortable: ASCII-\s tokens of lower(text), then
+  // h = (h*48271 + codepoint) mod (2^31-1) per token.
+  // ---------------------------------------------------------------------
+
+  private val portableTokCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[\t\n\x0B\f\r ]+'), t -> t != '') AS toks
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, list_transform(toks, t ->
+      |    list_reduce(
+      |      list_prepend(0::BIGINT, list_transform(range(1, length(t)+1), i -> unicode(t[i])::BIGINT)),
+      |      (a, c) -> (a*48271 + c) % 2147483647)) AS th
+      |  FROM tok)""".stripMargin
+
+  /** k-shingle hash chain over token-hash positions i..i+k-1 (1-based `th`),
+    * sh = (sh*48271 + th_j) mod M with sh0 = 0 (first step = th[i], < M). */
+  private def lehmerChainSql(k: Int): String = {
+    var e = "th[i]"
+    var j = 1
+    while (j < k) { e = s"(($e)*48271 + th[i+$j]) % 2147483647"; j += 1 }
+    e
+  }
+
+  private def simhashOracleSql: String = {
+    val bits = (0 until 64).map(i =>
+      s"CASE WHEN coalesce(list_sum(list_transform(hs, h -> ((h >> $i) & 1)*2 - 1)), 0) > 0 THEN 1 ELSE 0 END AS b$i")
+      .mkString(",\n  ")
+    // acc bit (63-i) <- sign of counts(i); the i=0 term is the sign bit,
+    // added as -2^63 so every intermediate stays in BIGINT range
+    val acc = "CASE WHEN b0 = 1 THEN -9223372036854775807 - 1 ELSE 0 END" +
+      (1 until 64).map(i => s" + b$i * ${1L << (63 - i)}").mkString
+    s"""$portableTokCte,
+       |th1 AS (SELECT doc_id, list_transform(th, h -> (h*48271 + 1) % 2147483647) AS h1 FROM th),
+       |h64 AS (SELECT doc_id, list_transform(h1, g -> g*2147483648 + (g*48271 + 1) % 2147483647) AS hs FROM th1),
+       |bits AS (SELECT doc_id,
+       |  $bits
+       |FROM h64),
+       |sh AS (SELECT doc_id, $acc AS simhash FROM bits)
+       |SELECT doc_id, simhash, (simhash >> 52) & 4095 AS bucket FROM sh""".stripMargin
+  }
+
+  private def fingerprintOracleSql: String =
+    s"""$portableTokCte,
+       |shg AS (SELECT doc_id,
+       |  CASE WHEN len(th) >= 5 THEN list_transform(range(1, len(th) - 3), i -> ${lehmerChainSql(5)})
+       |       ELSE []::BIGINT[] END AS shingles FROM th),
+       |fp AS (SELECT doc_id, list_sort(list_distinct(shingles))[1:8] AS fps FROM shg)
+       |SELECT doc_id, CAST(len(fps) AS INT) AS fp_size, fps[1] AS fp_min FROM fp""".stripMargin
+
+  private def minhashOracleSql: String = {
+    val M = 2147483647L
+    // per-seed affine permutation constants, identical to the engine:
+    // a_h = ((h+1)*1103515245 + 42) mod M, b_h = (a_h*48271 + 1) mod M
+    val sigExprs = (0 until 32).map { h =>
+      val a = ((h + 1).toLong * 1103515245L + 42L) % M
+      val b = (a * 48271L + 1L) % M
+      s"coalesce(list_min(list_transform(shingles, s -> ($a*s + $b) % 2147483647)), 9223372036854775807)"
+    }.mkString("[\n  ", ",\n  ", "]")
+    s"""$portableTokCte,
+       |shg AS (SELECT doc_id,
+       |  CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${lehmerChainSql(3)})
+       |       ELSE []::BIGINT[] END AS shingles FROM th),
+       |sig AS (SELECT doc_id, $sigExprs AS sig FROM shg),
+       |bandt AS (SELECT doc_id, sig, u.band,
+       |    (((sig[2*u.band+1] % 2147483647))*48271 + (sig[2*u.band+2] % 2147483647)) % 2147483647 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band) u),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandt a JOIN bandt b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ver AS (SELECT p.id_a FROM pairs p
+       |  JOIN sig x ON x.doc_id = p.id_a
+       |  JOIN sig y ON y.doc_id = p.id_b
+       |  WHERE list_sum(list_transform(range(1, 33),
+       |          i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) >= 8),
+       |cnt AS (SELECT id_a AS doc_id, count(*) AS n_candidates FROM ver GROUP BY 1)
+       |SELECT d.doc_id, coalesce(c.n_candidates, 0) AS n_candidates
+       |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_simhash" -> simhashOracleSql,
+    "q_fingerprint" -> fingerprintOracleSql,
+    "q_minhash_candidates" -> minhashOracleSql,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -60,8 +60,9 @@ object SketchKernels {
   /** 64-bit SimHash (Charikar 2002) over whitespace tokens, one pass: per bit,
     * sign of the sum of ±1 contributions of token hashes; bit i of the token
     * hash lands at output bit (63-i) — same layout as the round-1 column fold. */
-  def simhash64(text: UTF8String): Long = {
-    val th = tokenHashes(text)
+  def simhash64(text: UTF8String): Long = simhashFold(tokenHashes(text))
+
+  private def simhashFold(th: Array[Long]): Long = {
     val counts = new Array[Int](64)
     var t = 0
     while (t < th.length) {
@@ -80,6 +81,151 @@ object SketchKernels {
       i += 1
     }
     acc
+  }
+
+  // -------------------------------------------------------------------
+  // Portable (oracle-mode) hash scheme. The engine-default token hash is
+  // Spark's XXH64, which no other engine reproduces — so the sketch queries
+  // historically settled for rows-only driver checks. Oracle mode swaps ONLY
+  // the hash arithmetic for Lehmer/MINSTD folds in the 2^31-1 field
+  // (Park–Miller 1988 multiplier 48271; glibc LCG multiplier 1103515245 for
+  // seed derivation — both public-domain constants): every intermediate fits
+  // i64 with no wraparound, so a DuckDB oracle reproduces the exact values
+  // with BIGINT arithmetic (same trick as SrpBucketExpr's plane matrix).
+  // Sketch STRUCTURE (tokenization, shingling, band layout, bit fold) is
+  // identical between modes; q_sketch_invariance pins the default mode.
+  // -------------------------------------------------------------------
+
+  final val LehmerMod = 2147483647L // 2^31 - 1
+
+  /** Per-token Lehmer fold over the CODE POINTS of `lower(text)`:
+    * h = (h * 48271 + cp) mod (2^31-1). Same ASCII-\s tokenization as
+    * [[tokenHashes]]. */
+  def tokenHashesPortable(text: UTF8String): Array[Long] = {
+    val lower = text.toLowerCase
+    val base = lower.getBaseObject
+    val off = lower.getBaseOffset
+    val len = lower.numBytes
+    var out = new Array[Long](math.max(8, len / 6))
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(Platform.getByte(base, off + i))) i += 1
+      if (i < len) {
+        var h = 0L
+        while (i < len && !isWs(Platform.getByte(base, off + i))) {
+          val b0 = Platform.getByte(base, off + i) & 0xFF
+          var cp = 0
+          if (b0 < 0x80) { cp = b0; i += 1 }
+          else if (b0 < 0xE0) {
+            cp = ((b0 & 0x1F) << 6) | (Platform.getByte(base, off + i + 1) & 0x3F); i += 2
+          } else if (b0 < 0xF0) {
+            cp = ((b0 & 0x0F) << 12) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+              (Platform.getByte(base, off + i + 2) & 0x3F); i += 3
+          } else {
+            cp = ((b0 & 0x07) << 18) | ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+              ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+              (Platform.getByte(base, off + i + 3) & 0x3F); i += 4
+          }
+          h = (h * 48271L + cp) % LehmerMod
+        }
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        out(n) = h
+        n += 1
+      }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Widen a 31-bit portable token hash to 62 live bits for the simhash bit
+    * fold: h1 = (h*48271+1) mod M, h2 = (h1*48271+1) mod M, h64 = h1*2^31+h2
+    * (bits 62-63 always 0 — their simhash positions fold to 0 in both
+    * engines, harmlessly). */
+  @inline private def widen62(h: Long): Long = {
+    val h1 = (h * 48271L + 1L) % LehmerMod
+    val h2 = (h1 * 48271L + 1L) % LehmerMod
+    (h1 << 31) | h2
+  }
+
+  def simhash64Portable(text: UTF8String): Long = {
+    val th = tokenHashesPortable(text)
+    var i = 0
+    while (i < th.length) { th(i) = widen62(th(i)); i += 1 }
+    simhashFold(th)
+  }
+
+  /** Portable k-shingle hash chain: sh = (sh*48271 + th_j) mod M over the k
+    * token hashes. */
+  @inline private def shingleChainPortable(th: Array[Long], i: Int, k: Int): Long = {
+    var sh = 0L
+    var j = 0
+    while (j < k) { sh = (sh * 48271L + th(i + j)) % LehmerMod; j += 1 }
+    sh
+  }
+
+  /** Portable minhash: per-seed affine permutation in the 2^31-1 field —
+    * a_h = ((h+1)*1103515245 + 42) mod M, b_h = (a_h*48271 + 1) mod M,
+    * v = (a_h*sh + b_h) mod M (a_h*sh < 2^62: i64-exact). */
+  def minhashSignaturePortable(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val th = tokenHashesPortable(text)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      as(h) = ((h + 1).toLong * 1103515245L + 42L) % LehmerMod
+      bs(h) = (as(h) * 48271L + 1L) % LehmerMod
+      h += 1
+    }
+    val n = th.length - k + 1
+    var i = 0
+    while (i < n) {
+      val sh = shingleChainPortable(th, i, k)
+      h = 0
+      while (h < numHashes) {
+        val v = (as(h) * sh + bs(h)) % LehmerMod
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Portable band keys: kb = (kb*48271 + (sig_j mod M)) mod M over the
+    * band's signature positions (sig_j mod M also covers the empty-shingle
+    * Long.MaxValue sentinel — positive, identical in BIGINT arithmetic). */
+  def bandKeysPortable(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var kb = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        kb = (kb * 48271L + sig.getLong(b * rowsPerBand + j) % LehmerMod) % LehmerMod
+        j += 1
+      }
+      out(b) = kb
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Portable winnowing fingerprint: n smallest distinct portable k-shingle
+    * hashes, ascending. */
+  def fingerprintPortable(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val th = tokenHashesPortable(text)
+    val m = th.length - k + 1
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < m) { set.add(shingleChainPortable(th, i, k)); i += 1 }
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(java.util.Arrays.copyOf(arr, math.min(n, arr.length)))
   }
 
   /** MinHash signature (Broder 1997): shingle hash = XXH64 chain over k
@@ -219,41 +365,49 @@ object SketchKernels {
   }
 }
 
-/** `simhash64(text)` — LongType. */
-case class SimHash64Expr(child: Expression)
+/** `simhash64(text)` — LongType. `portable` selects the oracle-mode hash. */
+case class SimHash64Expr(child: Expression, portable: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  private def fn: String = if (portable) "simhash64Portable" else "simhash64"
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.simhash64(input.asInstanceOf[UTF8String])
+    if (portable) SketchKernels.simhash64Portable(input.asInstanceOf[UTF8String])
+    else SketchKernels.simhash64(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.$fn($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** `minhashSignature(text, k, numHashes)` — ArrayType(LongType). */
-case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int)
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def fn: String = if (portable) "minhashSignaturePortable" else "minhashSignature"
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.minhashSignature(input.asInstanceOf[UTF8String], k, numHashes)
+    if (portable) SketchKernels.minhashSignaturePortable(input.asInstanceOf[UTF8String], k, numHashes)
+    else SketchKernels.minhashSignature(input.asInstanceOf[UTF8String], k, numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.SketchKernels.minhashSignature($c, $k, $numHashes)")
+      c => s"graft.functions.SketchKernels.$fn($c, $k, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** `bandKeys(signature, bands, rowsPerBand)` — ArrayType(LongType); band index
   * is the array position (posexplode recovers it). */
-case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int)
+case class BandKeysExpr(child: Expression, bands: Int, rowsPerBand: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def fn: String = if (portable) "bandKeysPortable" else "bandKeys"
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+    if (portable) SketchKernels.bandKeysPortable(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+    else SketchKernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.SketchKernels.bandKeys($c, $bands, $rowsPerBand)")
+      c => s"graft.functions.SketchKernels.$fn($c, $bands, $rowsPerBand)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -272,14 +426,17 @@ case class NgramJaccardExpr(left: Expression, right: Expression, k: Int)
 }
 
 /** `fingerprint(text, k, n)` — ArrayType(LongType), n smallest shingle hashes. */
-case class FingerprintExpr(child: Expression, k: Int, n: Int)
+case class FingerprintExpr(child: Expression, k: Int, n: Int,
+    portable: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def fn: String = if (portable) "fingerprintPortable" else "fingerprint"
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.fingerprint(input.asInstanceOf[UTF8String], k, n)
+    if (portable) SketchKernels.fingerprintPortable(input.asInstanceOf[UTF8String], k, n)
+    else SketchKernels.fingerprint(input.asInstanceOf[UTF8String], k, n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.SketchKernels.fingerprint($c, $k, $n)")
+      c => s"graft.functions.SketchKernels.$fn($c, $k, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -421,14 +578,18 @@ object SketchFunctions {
   private def c(e: Expression): Column = GraftExpressionBridge.column(e)
   private def e(col: Column): Expression = GraftExpressionBridge.expression(col)
 
-  def simhash64(text: Column): Column = c(SimHash64Expr(e(text)))
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
-    c(MinHashSigExpr(e(text), k, numHashes))
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    c(BandKeysExpr(e(sig), bands, rowsPerBand))
+  def simhash64(text: Column, portable: Boolean = false): Column =
+    c(SimHash64Expr(e(text), portable))
+  def minhashSignature(text: Column, k: Int, numHashes: Int,
+      portable: Boolean = false): Column =
+    c(MinHashSigExpr(e(text), k, numHashes, portable))
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+      portable: Boolean = false): Column =
+    c(BandKeysExpr(e(sig), bands, rowsPerBand, portable))
   def sigAgreement(a: Column, b: Column): Column = c(SigAgreementExpr(e(a), e(b)))
   def ngramJaccard(a: Column, b: Column, k: Int): Column = c(NgramJaccardExpr(e(a), e(b), k))
-  def fingerprint(text: Column, k: Int, n: Int): Column = c(FingerprintExpr(e(text), k, n))
+  def fingerprint(text: Column, k: Int, n: Int, portable: Boolean = false): Column =
+    c(FingerprintExpr(e(text), k, n, portable))
   def srpBucket(emb: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
     c(SrpBucketExpr(e(emb), planes, dim, seed))
   def dot(a: Column, b: Column): Column = c(VecSimExpr(e(a), e(b), "dot"))

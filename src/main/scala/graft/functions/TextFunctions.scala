@@ -58,15 +58,17 @@ object TextFunctions {
     * seed); the signature is `numHashes` longs regardless of document size —
     * this is the column you persist/partition on at 100 TB, never the
     * shingle sets. */
-  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32): Column =
-    SketchFunctions.minhashSignature(text, k, numHashes)
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 32,
+      portable: Boolean = false): Column =
+    SketchFunctions.minhashSignature(text, k, numHashes, portable)
 
   /** LSH band keys over a minhash signature: `bands` hashes, each over
     * `rowsPerBand` consecutive signature positions; band index = array
     * position (recover with posexplode). Docs sharing any band key are
     * near-dup candidates → join on (band, key), never all-pairs. */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    SketchFunctions.bandKeys(signature, bands, rowsPerBand)
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int,
+      portable: Boolean = false): Column =
+    SketchFunctions.bandKeys(signature, bands, rowsPerBand, portable)
 
   /** Estimated Jaccard similarity from two minhash signatures: fraction of
     * agreeing positions. */
@@ -85,7 +87,8 @@ object TextFunctions {
     * kernel per row ([[SimHash64Expr]]) — the round-1 64-aggregate column fold
     * re-tokenized the text 64× in interpreted eval and was the bench's prime
     * scale-killer. Near-dups then compare by hamming distance on a long. */
-  def simhash64(text: Column): Column = SketchFunctions.simhash64(text)
+  def simhash64(text: Column, portable: Boolean = false): Column =
+    SketchFunctions.simhash64(text, portable)
 
   /** Hamming distance between two simhash longs. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -93,8 +96,9 @@ object TextFunctions {
   /** Rolling-hash document fingerprint (winnowing-style): the `n` smallest
     * distinct k-shingle hashes, ascending — a compact order-invariant sketch
     * (single-pass kernel, [[FingerprintExpr]]). */
-  def fingerprint(text: Column, k: Int = 5, n: Int = 8): Column =
-    SketchFunctions.fingerprint(text, k, n)
+  def fingerprint(text: Column, k: Int = 5, n: Int = 8,
+      portable: Boolean = false): Column =
+    SketchFunctions.fingerprint(text, k, n, portable)
 
   // ---------- quality scoring (integer components — oracle-friendly) ----------
 

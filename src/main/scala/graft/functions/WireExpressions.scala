@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native codegen expressions over the [[graft.sources.Wire]] fetch payload.
+  *
+  * Both exist for the same reason as the sketch kernels: the hot crawl path
+  * must stay inside whole-stage codegen with near-zero allocation. The
+  * round-3 plan re-scanned the fetch_log payload column three times after the
+  * fetch (hash scan, docs-write decode, paragraph decode) and decoded spans
+  * into Scala objects for Catalyst to re-encode — the docs-write stage alone
+  * measured 223 cpu-s with 45 s of GC at local[32]. Hash-at-fetch computes the
+  * identity columns WHILE the payload bytes are in hand (zero extra reads);
+  * the spans decode emits `UTF8String` slices of the payload array (zero
+  * copy) straight as Catalyst rows.
+  */
+object WireExpressions {
+
+  val DocHashesSchema: StructType = StructType(Seq(
+    StructField("sz", LongType),
+    StructField("prefix_hash", LongType),
+    StructField("content_hash", StringType),
+    StructField("render_hash_plain", StringType),
+    StructField("render_hash_nodigits", StringType),
+    StructField("render_hash_marked", StringType)))
+
+  val SpanSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("text", StringType),
+    StructField("media_ref", StringType),
+    StructField("offset", IntegerType)))
+}
+
+/** `docHashesStruct(payload)` — the D2/D3 identity columns computed straight
+  * off the Wire payload bytes (struct, null when the payload carries no doc).
+  * Pinned bit-equal to the object path in HashingSpec via
+  * [[graft.sources.Wire.docHashesStreaming]]. */
+case class WireDocHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WireExpressions.DocHashesSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    graft.sources.Wire.docHashesRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sources.Wire.docHashesRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `wireSpans(payload)` — the doc's span array as zero-copy Catalyst rows
+  * (string fields are slices of the payload byte array). Null when the
+  * payload carries no doc; span order is payload order (= generation order),
+  * identical to the old object-decode path. */
+case class WireSpansExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(WireExpressions.SpanSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    graft.sources.Wire.spansArrayData(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sources.Wire.spansArrayData($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers. */
+object WireFunctions {
+  private def c(e: Expression): Column = GraftExpressionBridge.column(e)
+  private def e(col: Column): Expression = GraftExpressionBridge.expression(col)
+
+  def docHashesStruct(payload: Column): Column = c(WireDocHashesExpr(e(payload)))
+  def wireSpans(payload: Column): Column = c(WireSpansExpr(e(payload)))
+}

@@ -119,5 +119,18 @@ final case class CrawlConfig(
       * cache — the shuffle would be pure overhead). See SeenSet.markDupes. */
     probeRepartition: Boolean = false,
     /** robots.txt disallow rules consulted before scheduling (C4). */
-    robots: Seq[RobotsRule] = Nil
+    robots: Seq[RobotsRule] = Nil,
+    /** fold the history delta tables (seen/docs/judgments/merge_requests)
+      * into one compacted base every this many rounds
+      * ([[graft.sources.Snapshots.compact]]) so per-round history scans stay
+      * O(tail) in file listing / footer reads / plan size instead of
+      * O(rounds). 0 disables. */
+    compactEvery: Int = 8,
+    /** per-host minimum spacing between consecutive fetches, enforced in the
+      * fetch loop's latency model (C4 wall-clock rate: a single-round wave
+      * cannot exceed 1e6/minIntervalMicros req/s/host — the literal analog of
+      * the reference's 25 req/min API budget, `AdobePDFExtractAPI.md:37`).
+      * 0 disables (crawl order is unaffected either way — spacing only
+      * stretches the modeled latency). */
+    minIntervalMicros: Long = 0L
 )

@@ -20,12 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The codec contract a real decoder drops into: constructed ONCE PER
+    * PARTITION inside the batched transform (a real codec holds native
+    * handles/buffers — per-row construction is the classic silent perf bug a
+    * drop-in must not introduce; MultimodalSpec pins the instantiation
+    * count), then streamed over the partition's rows. */
+  trait MediaCodec extends Serializable {
+    def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float])
+  }
+
   /** STUB: deterministic fake decode. Replace with a real codec. Produces an
     * 8-float feature vector + (width, height) derived from a position-weighted
     * byte sum mod 1000003 — stable across runs/executors AND replicable in
     * plain SQL (no 64-bit wraparound), so the DuckDB oracle can verify the
     * full plumbing including the stub outputs. */
-  object MediaCodecStub {
+  class MediaCodecStub extends MediaCodec {
     def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       // ??? <- real codec goes here; deterministic fake below
       var h = 0L
@@ -64,7 +73,8 @@ object Multimodal {
     * through the codec per partition; partitioning by doc_id keeps a doc's
     * media colocated with its other processing. Output schema:
     * (doc_id, media_ref, width, height, feature array<float>). */
-  def decodeFeatures(media: DataFrame, partitions: Int = 0): DataFrame = {
+  def decodeFeatures(media: DataFrame, partitions: Int = 0,
+      codecFactory: () => MediaCodec = () => new MediaCodecStub): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) media.repartition(partitions, col("doc_id"))
@@ -72,8 +82,9 @@ object Multimodal {
     p.select(col("doc_id"), col("media_ref"), col("payload"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
+        val codec = codecFactory() // once per partition — the batch contract
         it.map { case (docId, ref, payload) =>
-          val (w, h, feat) = MediaCodecStub.decodeImage(payload)
+          val (w, h, feat) = codec.decodeImage(payload)
           (docId, ref, w, h, feat)
         }
       }

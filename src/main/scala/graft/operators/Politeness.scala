@@ -99,10 +99,19 @@ object Politeness {
     // rows when parallelism salting out-split the budget (VERDICT r2 item 7).
     // Deterministic in (host counts, url_hash) → crawl order stays
     // parallelism-invariant; buckets beyond `rem` when base==0 defer all.
+    // salt derives from a RE-HASH of canonical_url, not the url_hash column:
+    // the fused keep-first below requires same-canonical copies to land in
+    // one (host, salt) bucket, and recomputing the hash here makes that hold
+    // even if a future producer writes a url_hash not derived from
+    // canonical_url (ADVICE r3: nothing else enforces the invariant; one
+    // codegen'd xxhash64 per row in an existing projection is free).
+    // Everywhere today url_hash == urlHash(canonical_url), so the bucket
+    // assignment is unchanged.
     val slotted = flagged
       .join(broadcast(hostSalts), Seq("host"), "left")
       .withColumn("salt_factor", coalesce($"salt_factor", lit(1))) // all-drop hosts
-      .withColumn("salt", pmod($"url_hash", $"salt_factor").cast("int"))
+      .withColumn("salt",
+        pmod(graft.functions.Urls.urlHash($"canonical_url"), $"salt_factor").cast("int"))
       .withColumn("__base", (lit(cfg.budgetPerHost) / $"salt_factor").cast("int"))
       .withColumn("budget",
         $"__base" + when($"salt" < lit(cfg.budgetPerHost) - $"__base" * $"salt_factor", 1)
@@ -198,7 +207,15 @@ object Politeness {
     * within each partition so each politeness bucket is drained strictly in
     * priority order — `fetchSeq` IS the crawl order within a bucket. The
     * simulator is pure, so this is embarrassingly parallel across buckets. */
-  def fetchAll(scheduled: Dataset[Sched], synthCfg: SynthConfig): Dataset[FetchEvent] = {
+  /** `minIntervalMicros > 0` enforces a per-host wall-clock rate in the
+    * latency model: each politeness bucket is drained sequentially (rows
+    * sorted by fetchSeq), so clamping every fetch's modeled latency to at
+    * least the interval guarantees bucket wall >= n × interval — a
+    * single-round wave can never exceed rate × wall for its host (C4; the
+    * reference's 25 req/min budget, `AdobePDFExtractAPI.md:37`). Crawl
+    * ORDER is unaffected: spacing only stretches latency_micros. */
+  def fetchAll(scheduled: Dataset[Sched], synthCfg: SynthConfig,
+      minIntervalMicros: Long = 0L): Dataset[FetchEvent] = {
     val spark = scheduled.sparkSession
     import spark.implicits._
     scheduled
@@ -207,8 +224,11 @@ object Politeness {
       .mapPartitions { it =>
         it.map { s =>
           val out = Synth.fetch(synthCfg, s.entry.url, s.entry.retry_count)
+          val lat =
+            if (minIntervalMicros > 0L) math.max(out.latencyMicros, minIntervalMicros)
+            else out.latencyMicros
           FetchEvent(s.entry, s.salt, s.fetchSeq, out.status, out.kind,
-            out.bytes, out.latencyMicros,
+            out.bytes, lat,
             out.doc.map(_.doc_id).orNull,
             graft.sources.Wire.encode(out.discovered, out.doc))
         }

@@ -30,12 +30,13 @@ object Similarity {
       shingleK: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes))
-      .withColumn("bk", lshBandKeys(col("sig"), bands, rowsPerBand))
+      .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes, portable))
+      .withColumn("bk", lshBandKeys(col("sig"), bands, rowsPerBand, portable))
       .select(col("id"), col("sig"), posexplode(col("bk")).as(Seq("band", "key")))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("key"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("key"))

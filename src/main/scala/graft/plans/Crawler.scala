@@ -188,6 +188,15 @@ object Crawler {
       __t = now
     }
 
+    // Stage attribution: name every job's call site (thread-local, so each
+    // concurrent Future names its own jobs) — the 8-vs-32 scaling work needs
+    // per-stage wall/cpu/gc attributed to pipeline steps, and the default
+    // lambda call sites are indistinguishable.
+    def named[T](name: String)(body: => T): T = {
+      spark.sparkContext.setCallSite(s"graft:$name")
+      try body finally spark.sparkContext.clearCallSite()
+    }
+
     val seenOpt = seenAllOpt(spark, workDir)
     val fCols = frontierCols(spark)
 
@@ -226,8 +235,8 @@ object Crawler {
 
     // ---- politeness scheduling + fetch ----
     val sched = Politeness.scheduleFlagged(flagged, cfg).persist()
-    val schedCounts = sched.groupBy($"entry.status", $"scheduled").count() // job 1
-      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val schedCounts = named("sched-counts")(sched.groupBy($"entry.status", $"scheduled").count() // job 1
+      .collect()).map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
     tick("schedule")
     val scheduledCount = schedCounts.collect { case ((_, true), n) => n }.sum
     val deferredCount = schedCounts.getOrElse(("deferred", false), 0L)
@@ -245,7 +254,15 @@ object Crawler {
     // consumer; persist() here would columnar-encode the spans into the
     // in-memory cache, whose builder serializes on storage-memory locks at
     // high thread counts (measured: 3× anti-scaling at local[32]).
-    val eventsRaw = Politeness.fetchAll(sched, synthCfg)
+    // hash-at-fetch: the D2/D3 identity columns are computed HERE, in the
+    // fetch stage's output projection, while the payload bytes are in hand —
+    // a native codegen expression, zero extra reads. The round-3 plan instead
+    // re-scanned the committed fetch_log payload column for a dedicated hash
+    // pass (79-148 cpu-s per wave; the single largest non-fetch cost in the
+    // 8-vs-32 stage attribution). Downstream, the dedup chain reads only the
+    // scalar doc_hashes leaves — nested schema pruning keeps the payload
+    // column out of that scan entirely.
+    val eventsRaw = Politeness.fetchAll(sched, synthCfg, cfg.minIntervalMicros)
       .withColumn("partition_id", spark_partition_id())
       .select(
         $"entry.url".as("url"), $"entry.canonical_url".as("canonical_url"),
@@ -256,11 +273,13 @@ object Crawler {
         $"entry.discovered_round".as("discovered_round"),
         $"salt", $"fetchSeq", $"status", $"kind", $"bytes",
         $"latencyMicros".as("latency_micros"), $"partition_id",
-        $"doc_id", $"payload")
+        $"doc_id",
+        graft.functions.WireFunctions.docHashesStruct($"payload").as("doc_hashes"),
+        $"payload")
     // bounded files ⇒ downstream scans parallelize evenly even though the
     // fetch partitioning is politeness-skewed (dominant court hosts)
-    val fetchLogCount = Snapshots.writeTable(workDir, round, FetchLogTable, eventsRaw,
-      maxRecordsPerFile = 1000L)
+    val fetchLogCount = named("fetch+log-write")(Snapshots.writeTable(workDir, round, FetchLogTable, eventsRaw,
+      maxRecordsPerFile = 1000L))
     tick("fetch+write-events")
     val events = Snapshots.readTable(spark, workDir, round, FetchLogTable)
 
@@ -271,9 +290,9 @@ object Crawler {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val evAggF = Future(events.agg(
+    val evAggF = Future(named("ev-agg")(events.agg(
       count(when($"status" === "ok", 1)).as("ok"),
-      count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0))
+      count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0)))
     tick("ev-agg")
 
     val okEvents = events.filter($"status" === "ok")
@@ -285,10 +304,13 @@ object Crawler {
       .filter(_.retry_count + 1 < cfg.maxRetries)
       .map(e => e.copy(retry_count = e.retry_count + 1, status = "pending"))
 
-    // newly seen URLs: everything successfully fetched this round
+    // newly seen URLs: everything successfully fetched this round. No
+    // distinct: the keep-first fused into the politeness shuffle guarantees
+    // at most one fetch per canonical URL per round (retries/deferred go to
+    // the NEXT round), so the old .distinct() was a pure exchange+aggregate
+    // over the full wave (CrawlSpec pins seen-set equality vs the oracle).
     val seenDelta = okEvents
       .select($"url_hash", $"canonical_url")
-      .distinct()
 
     // ---- discoveries → next frontier + judgment metadata ----
     // kind filter first: pdf payloads hold the span bytes and have no
@@ -304,22 +326,24 @@ object Crawler {
     val failCount = fetchLogCount - okCount
 
     // ---- docs-hash chain, launched CONCURRENTLY with the judgment routing
-    // below (independent given the committed fetch log): the survivor-hash
-    // materialization is the docs pipeline's long pole and fully overlaps
-    // the discovery/judgment windows ----
-    val docsRaw = okEvents.filter($"kind" === "pdf")
-      .select($"doc_id", $"payload", $"priority", $"court")
+    // below (independent given the committed fetch log). The identity
+    // columns were computed AT FETCH (doc_hashes struct, see eventsRaw): this
+    // scan touches only the scalar leaves — nested schema pruning keeps the
+    // payload column unread, so the dedup windows run on a ~150 B/row frame
+    // with no payload decompress at all. A docless pdf event (failed/partial
+    // fetch shape) carries a null doc_hashes and is filtered out here instead
+    // of crashing the typed encoder (ADVICE r3). ----
     val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
     val arrival = Seq($"priority", $"doc_id")
-    val narrowHashed = docsRaw
-      .select($"payload", $"priority", $"court")
-      .as[(Array[Byte], Long, String)]
-      .map { case (payload, prio, court) =>
-        // streaming kernel: hashes straight off the payload bytes — no Span
-        // objects, no Strings (the object-decode path measured 1.8× cpu and
-        // 10× GC inflation at 32 threads; allocation rate was the wall)
-        graft.sources.Wire.docHashesStreaming(prio, court, payload) }
-      .toDF()
+    val narrowHashed = okEvents
+      .filter($"kind" === "pdf" && $"doc_hashes".isNotNull)
+      .select($"doc_id", $"priority", $"court",
+        $"doc_hashes.sz".as("sz"),
+        $"doc_hashes.prefix_hash".as("prefix_hash"),
+        $"doc_hashes.content_hash".as("content_hash"),
+        $"doc_hashes.render_hash_plain".as("render_hash_plain"),
+        $"doc_hashes.render_hash_nodigits".as("render_hash_nodigits"),
+        $"doc_hashes.render_hash_marked".as("render_hash_marked"))
     val d2Kept = Dedup.contentDedup(narrowHashed, docsHistory, arrival)
     // persisted: the survivor frame is consumed twice (docs-table write AND
     // the paragraph pass) — without the persist the second consumer would
@@ -327,7 +351,7 @@ object Crawler {
     // re-scan. ~150 B/row, politeness-bounded: always cache-resident.
     val keptNarrow = Dedup.renderingDedup(
       d2Kept, Segregate.RenderingNames, docsHistory, arrival).persist()
-    val keptMaterializedF = Future(keptNarrow.count())
+    val keptMaterializedF = Future(named("dedup-chain")(keptNarrow.count()))
     val discovered: Dataset[RawDiscovery] =
       if (okCount == docsRawCount) spark.emptyDataset[RawDiscovery]
       else okEvents
@@ -391,7 +415,7 @@ object Crawler {
     // (codegen cache hits instead of a janino recompile per round).
     val mergeRequests = urlDupBatch.unionByName(urlDupHist)
     // write early, re-read (see eventsRaw note) — judgments feed the frontier
-    val judgCount = Snapshots.writeTable(workDir, round, JudgmentsTable, judgKept)
+    val judgCount = named("judgments-write")(Snapshots.writeTable(workDir, round, JudgmentsTable, judgKept))
     tick("judgments-write")
     val judgmentsDelta = Snapshots.readTable(spark, workDir, round, JudgmentsTable)
 
@@ -436,25 +460,32 @@ object Crawler {
     // hash scan is done or nearly so.
     Await.result(keptMaterializedF, Duration.Inf)
     tick("docs-dedup")
-    val decodeSpans = udf((b: Array[Byte]) => graft.sources.Wire.decodeSpans(b))
-    val docsKept = docsRaw.select($"doc_id", $"payload")
+    // survivors' spans decode ZERO-COPY (UTF8String slices of the payload
+    // array, straight to Catalyst rows — WireSpansExpr): the round-3 UDF
+    // decoded Seq[Span] objects for the struct encoder to re-encode, and that
+    // object churn was 45 s of GC in this stage alone at local[32]
+    val docsKept = okEvents.filter($"kind" === "pdf")
+      .select($"doc_id", $"payload")
       .join(broadcast(keptNarrow), Seq("doc_id"))
-      .withColumn("spans", decodeSpans($"payload"))
+      .withColumn("spans", graft.functions.WireFunctions.wireSpans($"payload"))
       .select((Seq($"doc_id", $"spans") ++
         keptNarrow.columns.filter(_ != "doc_id").map(col).toSeq): _*)
-    val docsWriteF = Future(Snapshots.writeTable(workDir, round, DocsTable, docsKept))
+    val docsWriteF = Future(named("docs-write")(Snapshots.writeTable(workDir, round, DocsTable, docsKept)))
 
-    // paragraphs stream from the SURVIVORS' payloads (Wire decode — the
-    // docs-table nested-parquet decode measured ~1.6× cpu inflation at 32
-    // threads on the same fold), joined against the persisted survivor ids
-    val paras = docsRaw.select($"doc_id", $"payload")
-      .join(broadcast(keptNarrow.select($"doc_id")), Seq("doc_id"))
-      .select($"payload").as[Array[Byte]]
-      .flatMap { payload =>
-        graft.sources.Wire.decodeDoc(payload).toSeq.flatMap(d =>
-          Segregate.segregateDoc(d.doc_id, "plain", d.spans)
-            .filter(p => Segregate.sentKeepStr(p.content)))
-      }.toDF()
+    // paragraphs stream from the SURVIVORS' payloads via the STREAMING fold
+    // (Wire.paragraphsFilteredStreaming — no Span/Doc objects; the object
+    // fold was this round's heaviest stage: 210 cpu-s + 38 s GC at
+    // local[32]); runs concurrently with the docs write (independent jobs
+    // over the same committed log). Survivor-only via the broadcast id join.
+    val parasF = Future { named("paras-write") {
+      val paras = okEvents.filter($"kind" === "pdf")
+        .select($"doc_id", $"payload")
+        .join(broadcast(keptNarrow.select($"doc_id")), Seq("doc_id"))
+        .select($"payload").as[Array[Byte]]
+        .flatMap(payload => graft.sources.Wire.paragraphsFilteredStreaming(payload, "plain"))
+        .toDF()
+      Snapshots.writeTable(workDir, round, ParagraphsTable, paras)
+    } }
 
     // ---- remaining tables + atomic manifest commit ----
     // The four remaining tables are independent of each other — submit their
@@ -473,11 +504,11 @@ object Crawler {
         coalesce(avg($"latency_micros"), lit(0.0)).as("avg_latency_micros"))
       .as[RoundMetrics].toDF()
     val writes = Map(
-      FrontierTable -> Future(Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF())),
-      SeenTable -> Future(Snapshots.writeTable(workDir, round, SeenTable, seenDelta)),
-      MergeRequestsTable -> Future(Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests)),
-      MetricsTable -> Future(Snapshots.writeTable(workDir, round, MetricsTable, metrics)),
-      ParagraphsTable -> Future(Snapshots.writeTable(workDir, round, ParagraphsTable, paras)))
+      FrontierTable -> Future(named("frontier-write")(Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF()))),
+      SeenTable -> Future(named("seen-write")(Snapshots.writeTable(workDir, round, SeenTable, seenDelta))),
+      MergeRequestsTable -> Future(named("merge-write")(Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests))),
+      MetricsTable -> Future(named("metrics-write")(Snapshots.writeTable(workDir, round, MetricsTable, metrics))),
+      ParagraphsTable -> parasF)
     val counts = writes.map { case (t, f) => t -> Await.result(f, Duration.Inf) } ++ Map(
       DocsTable -> Await.result(docsWriteF, Duration.Inf),
       JudgmentsTable -> judgCount,
@@ -509,12 +540,23 @@ object Crawler {
     if (counts(SeenTable) > 0) {
       val committedSeenDelta =
         spark.read.parquet(Snapshots.tablePath(workDir, round, SeenTable))
-      val fCuckoo = Future(SeenSet.addToFilters(committedSeenDelta, filterDir(workDir)))
-      val fBloom = Future(SeenSet.addToBloom(committedSeenDelta, filterDir(workDir)))
+      val fCuckoo = Future(named("cuckoo-update")(SeenSet.addToFilters(committedSeenDelta, filterDir(workDir))))
+      val fBloom = Future(named("bloom-update")(SeenSet.addToBloom(committedSeenDelta, filterDir(workDir))))
       Await.result(fCuckoo, Duration.Inf)
       tick("cuckoo-update")
       Await.result(fBloom, Duration.Inf)
       tick("bloom-update")
+    }
+
+    // periodic history compaction (Iceberg rewrite_data_files analog): fold
+    // the accumulated seen/docs/judgments/merge deltas into one base so the
+    // per-round history scans stay O(tail) at round >> compactEvery. The
+    // four tables are independent — compact concurrently.
+    if (cfg.compactEvery > 0 && round % cfg.compactEvery == 0) {
+      Seq(SeenTable, DocsTable, JudgmentsTable, MergeRequestsTable)
+        .map(t => Future(named(s"compact-$t")(Snapshots.compact(spark, workDir, t, round))))
+        .foreach(Await.result(_, Duration.Inf))
+      tick("compact")
     }
 
     val committedFrontier = spark.read

@@ -126,12 +126,123 @@ object Snapshots {
       .map(r => spark.read.parquet(tablePath(dir, r, table)))
 
   /** Union of all committed partitions of a delta table (empty → None). The
-    * `round` column is recovered by partition inference via basePath. */
+    * `round` column is recovered by partition inference via basePath. When a
+    * compacted base exists ([[compact]]), the union is base + the delta tail
+    * with `round > upto` — file listing, footer reads, and plan size stay
+    * O(tail), not O(rounds). */
   def readDeltas(spark: SparkSession, dir: String, table: String): Option[DataFrame] = {
+    val comp = currentBase(dir, table)
+    val upto = comp.map(_._1).getOrElse(0)
     val paths = committedRounds(dir)
+      .filter(_ > upto)
       .filter(r => Files.exists(Paths.get(tablePath(dir, r, table))))
       .map(r => tablePath(dir, r, table))
-    if (paths.isEmpty) None
-    else Some(spark.read.option("basePath", tableRoot(dir, table)).parquet(paths: _*))
+    val tail =
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", tableRoot(dir, table)).parquet(paths: _*))
+    (comp, tail) match {
+      case (Some((_, basePath)), Some(t)) =>
+        val base = spark.read.parquet(basePath)
+        Some(base.unionByName(
+          t.select(base.columns.map(org.apache.spark.sql.functions.col): _*)))
+      case (Some((_, basePath)), None) => Some(spark.read.parquet(basePath))
+      case (None, t)                   => t
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Delta compaction — the Iceberg `rewrite_data_files` analog. Without it
+  // a delta table accumulates one directory per committed round, and every
+  // history scan pays O(rounds) listing/footer/plan cost (the round-3
+  // growth bench's rising tail). `compact` rewrites base + eligible deltas
+  // into ONE new base directory; visibility flips with an atomic marker
+  // rename, so a crash at any point leaves a consistent store (the stale
+  // base/delta dirs are garbage-collected by the next compact).
+  // At true 10^10 scale a single full rewrite per compaction is replaced by
+  // size-tiered merging (rewrite cost amortized O(log rounds) per row); the
+  // layout below — versioned base dirs + an atomic CURRENT pointer — admits
+  // that evolution without changing readers.
+  // ---------------------------------------------------------------------
+
+  private def baseRoot(dir: String, table: String): Path =
+    Paths.get(dir, "tables", table, "_base")
+  private def baseMarker(dir: String, table: String): Path =
+    baseRoot(dir, table).resolve("CURRENT")
+
+  /** (upto, base data path) of the current compacted base, if any. */
+  def currentBase(dir: String, table: String): Option[(Int, String)] = {
+    val m = baseMarker(dir, table)
+    if (!Files.exists(m)) None
+    else {
+      val upto = Files.readString(m).trim.toInt
+      val p = baseRoot(dir, table).resolve(s"upto=$upto")
+      if (Files.exists(p)) Some((upto, p.toString)) else None
+    }
+  }
+
+  /** Rewrite the current base (if any) + all committed deltas with
+    * `round <= upToRound` into one new base covering rounds [1, upToRound].
+    * The `round` column is preserved as a physical column (partition
+    * inference recovers it for tail deltas; the base carries it directly).
+    * No-op when there is nothing new to fold in. Crash-safe: new base data
+    * is written to its own versioned dir, then the CURRENT marker is
+    * atomically renamed; old dirs are deleted only after the flip. */
+  def compact(spark: SparkSession, dir: String, table: String, upToRound: Int): Unit = {
+    val prev = currentBase(dir, table)
+    val prevUpto = prev.map(_._1).getOrElse(0)
+    val deltaRounds = committedRounds(dir)
+      .filter(r => r > prevUpto && r <= upToRound)
+      .filter(r => Files.exists(Paths.get(tablePath(dir, r, table))))
+    if (deltaRounds.isEmpty) return
+    val deltas = spark.read.option("basePath", tableRoot(dir, table))
+      .parquet(deltaRounds.map(r => tablePath(dir, r, table)): _*)
+    val merged = prev match {
+      case Some((_, basePath)) =>
+        val base = spark.read.parquet(basePath)
+        base.unionByName(deltas.select(base.columns.map(org.apache.spark.sql.functions.col): _*))
+      case None => deltas
+    }
+    // binpack: size the base's file count from the input bytes (Iceberg's
+    // rewrite_data_files target-file-size behavior) — without this the base
+    // inherits one output file per input split and files-per-scan never
+    // actually shrinks
+    val targetFileBytes = 128L * 1024 * 1024
+    val inputBytes =
+      (prev.map(_._2).toSeq ++ deltaRounds.map(r => tablePath(dir, r, table)))
+        .map { p =>
+          Files.list(Paths.get(p)).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => Files.size(f)).sum
+        }.sum
+    val nFiles = math.max(1L, (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val target = baseRoot(dir, table).resolve(s"upto=$upToRound")
+    merged.coalesce(nFiles).write.mode("overwrite").parquet(target.toString)
+    // atomic flip: marker rename makes the new base current
+    Files.createDirectories(baseRoot(dir, table))
+    val tmp = Files.createTempFile(baseRoot(dir, table), "current", ".tmp")
+    Files.writeString(tmp, upToRound.toString)
+    Files.move(tmp, baseMarker(dir, table), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    // GC: stale base + folded delta dirs (readers already ignore them)
+    prev.foreach { case (_, old) => deleteRecursively(Paths.get(old)) }
+    deltaRounds.foreach(r => deleteRecursively(Paths.get(tablePath(dir, r, table))))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** Number of parquet files a [[readDeltas]] scan of `table` would touch
+    * (base + tail) — the growth bench's flat-files-per-scan evidence. */
+  def scanFileCount(dir: String, table: String): Long = {
+    def filesIn(p: Path): Long =
+      if (!Files.exists(p)) 0L
+      else Files.list(p).iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+    val comp = currentBase(dir, table)
+    val upto = comp.map(_._1).getOrElse(0)
+    val tail = committedRounds(dir).filter(_ > upto)
+      .map(r => filesIn(Paths.get(tablePath(dir, r, table)))).sum
+    comp.map(c => filesIn(Paths.get(c._2))).getOrElse(0L) + tail
   }
 }

@@ -134,6 +134,162 @@ object Wire {
     if (n > 0) in.skipBytes(n)
   }
 
+  /** Byte position of the doc block (right after the discovery block), or -1
+    * when the payload carries no doc. */
+  private def docBlockStart(b: Array[Byte]): Int = {
+    var p = 0
+    require(b(p) == Version, s"unknown wire version ${b(0)}")
+    p += 1
+    var n = readIntAt(b, p); p += 4
+    while (n > 0) { // skip the discovery block: 6 strings, 3 ints, 1 long
+      p = skipStrAt(b, skipStrAt(b, skipStrAt(b, p)))
+      p += 16
+      p = skipStrAt(b, skipStrAt(b, skipStrAt(b, p)))
+      p += 4
+      n -= 1
+    }
+    if (b(p) == 0) -1 else p + 1
+  }
+
+  /** Zero-copy spans decode for the docs-table write: the span array as
+    * Catalyst [[org.apache.spark.sql.catalyst.util.ArrayData]] whose string
+    * fields are `UTF8String.fromBytes` SLICES of the payload array — no Span
+    * objects, no String materialization, no re-encode of an object graph
+    * (the round-3 `decodeSpans` UDF path allocated Seq[Span] + Strings per
+    * survivor and re-encoded them through the struct encoder; measured 45 s
+    * of GC in the docs-write stage at local[32]). Returns null when the
+    * payload carries no doc; field order matches [[graft.model.Span]]. */
+  def spansArrayData(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (bytes == null) return null
+    var p = docBlockStart(bytes)
+    if (p < 0) return null
+    p = skipStrAt(bytes, p) // doc_id
+    val nSpans = readIntAt(bytes, p); p += 4
+    val rows = new Array[Any](nSpans)
+    var i = 0
+    while (i < nSpans) {
+      val kindLen = readIntAt(bytes, p); val kindStart = p + 4
+      p = kindStart + math.max(kindLen, 0)
+      val textLen = readIntAt(bytes, p); val textStart = p + 4
+      p = textStart + math.max(textLen, 0)
+      val mediaLen = readIntAt(bytes, p); val mediaStart = p + 4
+      p = mediaStart + math.max(mediaLen, 0)
+      val offset = readIntAt(bytes, p); p += 4
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        if (kindLen < 0) null else org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, kindStart, kindLen),
+        if (textLen < 0) null else org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, textStart, textLen),
+        if (mediaLen < 0) null else org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, mediaStart, mediaLen),
+        offset))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Streaming twin of `Segregate.segregateDoc + sentKeepStr` over the
+    * payload bytes — the paragraph fold without Span/Doc objects (the
+    * object-decode fold was the crawl round's single heaviest stage: 210
+    * cpu-s + 38 s GC at local[32] in the round-4 attribution). Only two
+    * kinds of Strings materialize: starter-span texts (the reference-numeral
+    * regex needs a String) and the output paragraph contents; every other
+    * span's chars stream straight into the content builder, and skipped
+    * spans (tables, images, text outside an open paragraph) are never
+    * decoded at all. Pinned ≡ the object path in SegregateSpec. Falls back
+    * to the object fold if spans arrive offset-unsorted (same contract as
+    * [[docHashesStreaming]]). */
+  def paragraphsFilteredStreaming(payload: Array[Byte], extractor: String,
+      minSents: Int = 3, minWords: Int = 30): Seq[graft.model.Paragraph] = {
+    if (payload == null) return Nil
+    var p = docBlockStart(payload)
+    if (p < 0) return Nil
+    val docIdLen = readIntAt(payload, p)
+    val docId = new String(payload, p + 4, docIdLen, UTF_8)
+    p += 4 + docIdLen
+    val nSpans = readIntAt(payload, p); p += 4
+
+    def fallback: Seq[graft.model.Paragraph] =
+      decodeDoc(payload).toSeq.flatMap(d =>
+        graft.operators.Segregate.segregateDoc(d.doc_id, extractor, d.spans)
+          .filter(q => graft.operators.Segregate.sentKeepStr(q.content, minSents, minWords)))
+
+    val out = Vector.newBuilder[graft.model.Paragraph]
+    val content = new java.lang.StringBuilder(256)
+    var hasContent = false
+    var reference: String = null
+    var open = false
+    var pageStart = 0
+    var page = 0
+    var seq = 0
+    var prevOffset = Int.MinValue
+    @inline def emit(): Unit = {
+      seq += 1
+      val c = content.toString.trim
+      if (graft.operators.Segregate.sentKeepStr(c, minSents, minWords))
+        out += graft.model.Paragraph(docId, extractor, pageStart + 1, seq, c, reference)
+    }
+    var i = 0
+    while (i < nSpans) {
+      val kindLen = readIntAt(payload, p); val kindStart = p + 4
+      p = kindStart + math.max(kindLen, 0)
+      val textLen = readIntAt(payload, p); val textStart = p + 4
+      p = textStart + math.max(textLen, 0)
+      val mediaLen = readIntAt(payload, p)
+      p = p + 4 + math.max(mediaLen, 0)
+      val offset = readIntAt(payload, p); p += 4
+      if (offset < prevOffset) return fallback // honor the sort contract
+      prevOffset = offset
+
+      val kind = kindOf(payload, kindStart, math.max(kindLen, 0))
+      if (kind eq KindHeading) {
+        open = false; content.setLength(0); hasContent = false; reference = null
+        page += 1
+      } else if ((kind eq KindText) && textLen >= 0) {
+        val isStarter = starterAt(payload, textStart, textStart + textLen)
+        if (isStarter) {
+          if (open && hasContent) emit()
+          // starter spans are the one place the span text materializes: the
+          // reference-numeral extraction is a String regex
+          val s = new String(payload, textStart, textLen, UTF_8)
+          val m = graft.operators.Segregate.referenceMatcher(s)
+          if (m.find()) {
+            reference = graft.operators.Segregate.stripSpaces(m.group(1))
+            content.setLength(0)
+            content.append(s.substring(m.end()).trim)
+          } else {
+            reference = null
+            content.setLength(0)
+            content.append(s.trim)
+          }
+          hasContent = true
+          pageStart = page
+          open = true
+        } else if (open) {
+          content.append(' ')
+          foreachChar(payload, textStart, textStart + textLen)(content.append(_))
+        }
+      } // tables/images/null-text spans: skipped, never decoded
+      i += 1
+    }
+    // no final flush — the trailing open paragraph is dropped (reference
+    // quirk preserved; see Segregate.segregateDoc)
+    out.result()
+  }
+
+  /** [[docHashesStreaming]] rendered straight to a Catalyst struct row for
+    * the hash-at-fetch expression ([[graft.functions.WireFunctions]]): fields
+    * (sz, prefix_hash, content_hash, render_hash_plain, render_hash_nodigits,
+    * render_hash_marked). Returns null when the payload carries no doc. */
+  def docHashesRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val h = docHashesStreaming(0L, null, bytes)
+    if (h == null) return null
+    import org.apache.spark.unsafe.types.UTF8String
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      h.sz, h.prefix_hash,
+      UTF8String.fromString(h.content_hash),
+      UTF8String.fromString(h.render_hash_plain),
+      UTF8String.fromString(h.render_hash_nodigits),
+      UTF8String.fromString(h.render_hash_marked)))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming doc-hash kernel: computes Dedup.DocHashes DIRECTLY from the
   // payload bytes — no Span objects, no Seq builders, no text Strings. The

@@ -26,12 +26,14 @@ object MegaProbe {
       // growth mode: args = cpus rounds nPerRound
       val rounds = n
       val nPer = if (args.length > 2) args(2).toInt else 100000
-      val secs = graft.Bench.growthBench(cpus, rounds, nPer)
-      secs.zipWithIndex.foreach { case (s, i) => println(f"GROWTH round ${i + 1}: $s%.1f s") }
+      val (secs, files) = graft.Bench.growthBench(cpus, rounds, nPer)
+      secs.zip(files).zipWithIndex.foreach { case ((s, f), i) =>
+        println(f"GROWTH round ${i + 1}: $s%.1f s files=$f") }
       println(f"GROWTH ratio_last_over_first=${secs.last / secs.head}%.3f")
     } else {
-      val (urls, secs) = graft.Bench.crawlBenchProbe(cpus, n)
-      println(f"MEGA cpus=$cpus n=$n urls=$urls secs=$secs%.1f tput=${urls / secs}%.1f")
+      val (urls, secs, alloc) = graft.Bench.crawlBenchProbe(cpus, n)
+      val allocGb = if (alloc < 0) -1.0 else alloc / 1e9
+      println(f"MEGA cpus=$cpus n=$n urls=$urls secs=$secs%.1f tput=${urls / secs}%.1f alloc_gb=$allocGb%.1f")
     }
   }
 }

@@ -80,6 +80,29 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("Wire.paragraphsFilteredStreaming equals segregateDoc+sentKeepStr on objects") {
+    val cfg = SynthConfig()
+    val synthDocs = (0L until 40L).map(i => Doc(s"d$i", Synth.spansOf(cfg, i)))
+    val weird = Seq(
+      Doc("w0", Seq(Span("text", "1. ü¶€ starter. Two. Three sentences here.", null, 0),
+        Span("text", "continuation text", null, 1), Span("text", "2. next", null, 2))),
+      Doc("w1", Seq(Span("text", " ١٢. arabic-indic starter. A. B. C.", null, 0),
+        Span("text", "3. close", null, 1))),
+      Doc("w2", Seq(Span("text", "𐄇 supplementary", null, 0), Span("heading", "H", null, 1),
+        Span("text", "1. after heading. X. Y. Z.", null, 2), Span("text", "2. tail", null, 3))),
+      Doc("w3", Seq(Span("text", null, null, 0), Span("table", "t", null, 1))),
+      Doc("w4", Seq.empty),
+      Doc("w5", Seq(Span("text", "1 . 2. chained ref. Sent. Sent. Sent.", null, 0),
+        Span("image", null, "m", 1), Span("text", "9. end", null, 2))))
+    (synthDocs ++ weird).foreach { d =>
+      val payload = graft.sources.Wire.encode(Nil, Some(d))
+      val streamed = graft.sources.Wire.paragraphsFilteredStreaming(payload, "plain")
+      val objects = Segregate.segregateDoc(d.doc_id, "plain", d.spans)
+        .filter(p => Segregate.sentKeepStr(p.content))
+      assert(streamed === objects, s"streaming paragraph mismatch for ${d.doc_id}")
+    }
+  }
+
   test("Wire round-trip: encode → decodeDiscovered/decodeDoc is identity") {
     val ds = Seq(
       Synth.Discovered("https://a.example.org/x?y=1", "c", "q", 2, 1, 99L, "CN/1", "Tü", "2022-01-01", 3),

@@ -37,6 +37,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wh.forall { case (w, h) => w >= 64 && h >= 64 })
   }
 
+  test("decodeFeatures batch contract: schema, doc_id partitioning, one codec per partition") {
+    import org.apache.spark.sql.types._
+    val m = Multimodal.mediaTable(docs)
+    val nPart = 3
+    val counter = spark.sparkContext.longAccumulator("codec-instantiations")
+    val out = Multimodal.decodeFeatures(m, nPart, () => {
+      counter.add(1)
+      new Multimodal.MediaCodecStub
+    })
+    // (a) output schema is pinned — a codec drop-in must not change it
+    assert(out.schema === StructType(Seq(
+      StructField("doc_id", StringType, nullable = true),
+      StructField("media_ref", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true))))
+    // (b) partitioning: the transform runs downstream of a hash exchange on
+    // doc_id at the requested partition count (a doc's media stays colocated)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(doc_id"), s"expected doc_id exchange in:\n$plan")
+    assert(plan.contains(s", $nPart)"), s"expected $nPart-partition exchange in:\n$plan")
+    // (c) codec constructed once per partition, not per row
+    counter.reset()
+    val rows = out.count()
+    assert(rows === 3)
+    assert(counter.value === nPart.toLong,
+      s"codec must be instantiated once per partition ($nPart), saw ${counter.value}")
+  }
+
   test("sampleFrames: stride grid per media row") {
     val m = Multimodal.mediaTable(docs)
     val frames = Multimodal.sampleFrames(m, nFrames = 3, stride = 10)

@@ -75,6 +75,29 @@ class PolitenessSpec extends AnyFunSuite {
     assert(sched.count(!_.scheduled) === 998)
   }
 
+  test("minIntervalMicros: per-host wall-clock rate is a hard cap; order unchanged when off") {
+    import graft.sources.SynthConfig
+    val cfg = CrawlConfig(budgetPerHost = 64, numPartitions = 4, saltMax = 2,
+      maxBucketRows = Int.MaxValue)
+    val sched = Politeness.schedule(bigHostFrontier(200), cfg)
+    val interval = 50000L // 50 ms ⇒ ≤ 20 req/s/host (25 req/min analog scaled)
+    val limited = Politeness.fetchAll(sched, SynthConfig(), interval).collect()
+    val free = Politeness.fetchAll(sched, SynthConfig()).collect()
+    // every bucket drains sequentially, so Σ latency is the bucket wall:
+    // wall >= n × interval ⇒ rate = n / wall <= 1e6 / interval
+    limited.groupBy(e => (e.entry.host, e.salt)).foreach { case (_, evs) =>
+      val wallMicros = evs.map(_.latencyMicros).sum
+      assert(wallMicros >= evs.length.toLong * interval,
+        s"bucket of ${evs.length} fetches finished in $wallMicros µs — exceeds the rate cap")
+    }
+    assert(limited.forall(_.latencyMicros >= interval))
+    // crawl order and outcomes are IDENTICAL with the limiter off/on — the
+    // cap only stretches modeled latency
+    def order(evs: Array[graft.operators.FetchEvent]) =
+      evs.sortBy(e => (e.entry.host, e.salt, e.fetchSeq)).map(e => (e.entry.url, e.status, e.kind)).toSeq
+    assert(order(limited) === order(free))
+  }
+
   test("keep-first fused in the scheduling shuffle: duplicate canonicals collapse to the best copy") {
     val n = 300
     // every url appears twice: copy A priority i, copy B priority i+1000 —

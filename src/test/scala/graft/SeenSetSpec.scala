@@ -22,7 +22,7 @@ class SeenSetSpec extends AnyFunSuite {
     val half = n / 2
     SeenSet.addToFilters(seen.filter(col("url_hash") % 2 === 0), dir, buckets)
     SeenSet.addToFilters(seen.filter(col("url_hash") % 2 =!= 0), dir, buckets)
-    SeenSet.addToBloom(seen, dir)
+    SeenSet.addToBloom(seen, dir, buckets)
     // saturation must have produced markers instead of throwing
     val markers = Files.list(Paths.get(dir)).iterator()
     var sawMarker = false
@@ -52,6 +52,45 @@ class SeenSetSpec extends AnyFunSuite {
     val marked2 = SeenSet.markDupes(incoming, seen, dir, buckets,
       probeRepartition = false, seenKeysUnique = true)
     assert(marked2.filter(col("__dup")).count() === 1000L)
+  }
+
+  test("sharded bloom: per-shard fixed shape keeps fpp nominal, shard routing matches probe") {
+    val dir = Files.createTempDirectory("seenbloom").toString
+    val buckets = 4
+    val n = 1 << 20 // 1M keys over 4 shards: ~262k/shard, well inside shard shape
+    val seen = spark.range(n.toLong)
+      .select((col("id") * 2654435761L).as("url_hash"),
+        concat(lit("https://h.example.org/u/"), col("id")).as("canonical_url"))
+    SeenSet.addToBloom(seen, dir, buckets)
+    // every shard file exists (single writer per shard)
+    val blooms = (0 until buckets).map(b => SeenSet.loadBloom(dir, b))
+    assert(blooms.forall(_.isDefined), "one bloom shard per bucket")
+    // inserted keys: the OWNING shard must report maybe-seen (no false negatives)
+    val misses = (0 until 100000).count { i =>
+      val h = i.toLong * 2654435761L
+      val b = (((h % buckets) + buckets) % buckets).toInt
+      !blooms(b).get.mightContainLong(h)
+    }
+    assert(misses === 0, "bloom false negative")
+    // novel keys: per-shard fpp stays near the nominal 1% (the whole point of
+    // sharding — a single fixed-shape bloom would degrade as the seen set
+    // outgrows it; per-shard shape holds at any total size via shard count)
+    val fps = (0 until 100000).count { i =>
+      val h = (n.toLong + i) * 2654435761L + 17L
+      val b = (((h % buckets) + buckets) % buckets).toInt
+      blooms(b).get.mightContainLong(h)
+    }
+    assert(fps < 3000, s"shard fpp out of range: $fps / 100000")
+    // incremental update (addToBloom) and full rebuild (rebuildFilters)
+    // agree on membership for inserted keys
+    SeenSet.rebuildFilters(seen, dir, buckets)
+    val rebuilt = (0 until buckets).map(b => SeenSet.loadBloom(dir, b).get)
+    val missesRebuilt = (0 until 100000).count { i =>
+      val h = i.toLong * 2654435761L
+      val b = (((h % buckets) + buckets) % buckets).toInt
+      !rebuilt(b).mightContainLong(h)
+    }
+    assert(missesRebuilt === 0)
   }
 
   test("hash-collision safety: same url_hash, different canonical_url is NOT a dup") {

@@ -32,6 +32,45 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, dir, "full").get.as[Int].collect().sorted.toSeq === Seq(20, 30))
   }
 
+  test("compact folds deltas into one base; readDeltas round-trips exactly") {
+    val dir = Files.createTempDirectory("snap4").toString
+    (1 to 6).foreach { r =>
+      Snapshots.commit(dir, r, Map("delta" -> Seq(r * 10, r * 10 + 1).toDF("x")), Map.empty)
+    }
+    val before = Snapshots.readDeltas(spark, dir, "delta").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
+
+    // compact rounds 1..4 into a base; 5..6 stay as tail deltas
+    Snapshots.compact(spark, dir, "delta", 4)
+    assert(Snapshots.currentBase(dir, "delta").map(_._1) === Some(4))
+    // folded delta dirs are GC'd; tail dirs remain
+    assert(!Files.exists(Paths.get(Snapshots.tablePath(dir, 2, "delta"))), "folded delta GC'd")
+    assert(Files.exists(Paths.get(Snapshots.tablePath(dir, 5, "delta"))), "tail delta kept")
+    val afterOne = Snapshots.readDeltas(spark, dir, "delta").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
+    assert(afterOne === before, "base+tail union must equal the pre-compaction union")
+
+    // second compaction folds the old base + the tail (incremental)
+    Snapshots.compact(spark, dir, "delta", 6)
+    assert(Snapshots.currentBase(dir, "delta").map(_._1) === Some(6))
+    val afterTwo = Snapshots.readDeltas(spark, dir, "delta").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
+    assert(afterTwo === before)
+    // files-per-scan collapses to the base's own files
+    assert(Snapshots.scanFileCount(dir, "delta") < 6L,
+      s"expected one compacted base, saw ${Snapshots.scanFileCount(dir, "delta")} files")
+
+    // later rounds append past the base and stay visible
+    Snapshots.commit(dir, 7, Map("delta" -> Seq(70).toDF("x")), Map.empty)
+    val withTail = Snapshots.readDeltas(spark, dir, "delta").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
+    assert(withTail === (before :+ ((70, 7))).sorted)
+
+    // no-op when nothing new is eligible
+    Snapshots.compact(spark, dir, "delta", 6)
+    assert(Snapshots.currentBase(dir, "delta").map(_._1) === Some(6))
+  }
+
   test("manifest records table counts and lineage fields as json") {
     val dir = Files.createTempDirectory("snap3").toString
     Snapshots.commit(dir, 7, Map("t" -> Seq(1, 2).toDF("x")),

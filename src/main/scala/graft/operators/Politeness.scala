@@ -14,6 +14,27 @@ final case class Slotted(entry: FrontierEntry, salt: Int, budget: Int, drop: Str
 /** A scheduled (or deferred) entry; `fetchSeq` is the in-bucket fetch order. */
 final case class Sched(entry: FrontierEntry, salt: Int, fetchSeq: Int, scheduled: Boolean)
 
+/** Per-round scheduling counters, filled DURING the scheduling
+  * `mapPartitions` via Spark accumulators — so the per-round report needs no
+  * dedicated count job over the sched frame (that job was 2-3 s of fixed
+  * wall per round, paid identically at every parallelism). Values are valid
+  * after the first action that materializes the sched frame (the fetch-log
+  * write); report-only (a cache eviction + recompute could in principle
+  * re-add, which the crawler's persisted sched never does in practice). */
+final case class SchedCounters(
+    scheduled: org.apache.spark.util.LongAccumulator,
+    deferred: org.apache.spark.util.LongAccumulator,
+    dup: org.apache.spark.util.LongAccumulator,
+    robots: org.apache.spark.util.LongAccumulator)
+
+object SchedCounters {
+  def create(spark: SparkSession): SchedCounters = SchedCounters(
+    spark.sparkContext.longAccumulator("sched.scheduled"),
+    spark.sparkContext.longAccumulator("sched.deferred"),
+    spark.sparkContext.longAccumulator("sched.dup"),
+    spark.sparkContext.longAccumulator("sched.robots"))
+}
+
 /** Result of one simulated fetch. The discoveries and (for PDFs) the doc do
   * NOT ride the typed encoder as nested objects: round 2 measured the
   * generated serializer for the nested shape at HotSpot's huge-method JIT
@@ -70,7 +91,8 @@ object Politeness {
     * frame instead of a separate count job over the flagged frontier — the
     * separate job was pure fixed driver cost paid identically at every
     * parallelism (VERDICT r2 "~8 s/wave fixed driver cost"). */
-  def scheduleFlagged(flagged: DataFrame, cfg: CrawlConfig): Dataset[Sched] = {
+  def scheduleFlagged(flagged: DataFrame, cfg: CrawlConfig,
+      counters: Option[SchedCounters] = None): Dataset[Sched] = {
     val spark = flagged.sparkSession
     import spark.implicits._
     val entryCols = flagged.columns.filter(_ != "__drop")
@@ -185,18 +207,21 @@ object Politeness {
         val deferredStream: Iterator[Sched] = it.flatMap { s =>
           if (s.drop != null) {
             // D1-dup / robots reject: counted, never admitted
+            counters.foreach(c => (if (s.drop == "dup") c.dup else c.robots).add(1L))
             Iterator.single(
               Sched(s.entry.copy(status = s.drop), s.salt, -1, scheduled = false))
           } else {
             val evicted = heaps.getOrElseUpdate((s.entry.host, s.salt), new Bucket).add(s)
-            if (evicted != null)
+            if (evicted != null) {
+              counters.foreach(_.deferred.add(1L))
               Iterator.single(
                 Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false))
-            else Iterator.empty
+            } else Iterator.empty
           }
         }
         deferredStream ++ heaps.valuesIterator.flatMap { bucket =>
           bucket.drain.zipWithIndex.map { case (s: Slotted, i: Int) =>
+            counters.foreach(_.scheduled.add(1L))
             Sched(s.entry, s.salt, i, scheduled = true)
           }
         }

@@ -304,14 +304,140 @@ object Segregate {
   private val sentBoundaryPattern = java.util.regex.Pattern.compile("[.!?]+(\\s+|$)")
   private val nonLetterPattern = java.util.regex.Pattern.compile("[^\\p{L}]+")
 
-  /** Typed twin of [[sentCountFilter]] (same regex semantics — pinned equal
-    * in SegregateSpec); used in the crawler's hot path. */
-  def sentKeepStr(content: String, minSents: Int = 3, minWords: Int = 30): Boolean = {
-    val sents = sentBoundaryPattern.split(content).count(_.trim.nonEmpty)
-    if (sents >= minSents) return true
-    val words = nonLetterPattern.split(content.toLowerCase)
-      .count(w => w.nonEmpty && !StopwordSet.contains(w))
+  /** Allocation-free scan equivalent of
+    * `sentBoundaryPattern.split(content).count(_.trim.nonEmpty)`: a boundary
+    * is a [.!?]+ run followed by ASCII whitespace or end-of-string (regex \s
+    * without (?U) is ASCII); a segment counts iff it contains any char
+    * > ' ' (String.trim semantics). The split-based version allocated a
+    * String array + trimmed copies per paragraph — at ~10M paragraphs per
+    * crawl wave the two regex splits in sentKeepStr were the paragraph
+    * stage's dominant cpu (pinned ≡ regex in SegregateSpec). */
+  private[graft] def sentenceCountScan(content: String): Int = {
+    val n = content.length
+    @inline def isPunct(c: Char) = c == '.' || c == '!' || c == '?'
+    @inline def isWs(c: Char) = c == ' ' || (c >= '\t' && c <= '\r')
+    var i = 0
+    var sents = 0
+    var segHasContent = false
+    while (i < n) {
+      val c = content.charAt(i)
+      if (isPunct(c)) {
+        var j = i + 1
+        while (j < n && isPunct(content.charAt(j))) j += 1
+        if (j >= n || isWs(content.charAt(j))) {
+          // boundary: punct run + (ws run | end)
+          while (j < n && isWs(content.charAt(j))) j += 1
+          if (segHasContent) sents += 1
+          segHasContent = false
+          i = j
+        } else {
+          segHasContent = true // punct run embedded in a segment
+          i = j
+        }
+      } else {
+        if (c > ' ') segHasContent = true
+        i += 1
+      }
+    }
+    if (segHasContent) sents += 1
+    sents
+  }
+
+  private lazy val MaxStopwordLen: Int = Stopwords.map(_.length).max
+
+  /** Early-exit scan equivalent of the content-word count
+    * (`nonLetterPattern.split(content.toLowerCase).count(w => w.nonEmpty &&
+    * !stopword)` >= minWords): tokens are maximal \p{L} runs; ASCII tokens
+    * longer than the longest stopword count immediately with no allocation;
+    * candidate-length tokens allocate one small lowercase string for the set
+    * lookup; the scan RETURNS as soon as minWords is reached. Any non-ASCII
+    * char falls back to the regex path (String.toLowerCase is locale- and
+    * length-unstable off ASCII — e.g. İ lowercases to two chars — and the
+    * scan must match it exactly; the corpus is ASCII, so the fallback is
+    * cold). */
+  private def wordKeepScan(content: String, minWords: Int): Boolean = {
+    val n = content.length
+    var i = 0
+    var words = 0
+    while (i < n) {
+      var c = content.charAt(i)
+      if (c >= 0x80) { // non-ASCII: exact regex semantics
+        val ws = nonLetterPattern.split(content.toLowerCase)
+          .count(w => w.nonEmpty && !StopwordSet.contains(w))
+        return ws >= minWords
+      }
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        val start = i
+        var ascii = true
+        while (i < n && {
+          c = content.charAt(i)
+          if (c >= 0x80) ascii = false
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        }) i += 1
+        if (!ascii) { // token ran into non-ASCII territory: fall back
+          val ws = nonLetterPattern.split(content.toLowerCase)
+            .count(w => w.nonEmpty && !StopwordSet.contains(w))
+          return ws >= minWords
+        }
+        val len = i - start
+        if (len > MaxStopwordLen) words += 1
+        else {
+          val buf = new Array[Char](len)
+          var j = 0
+          while (j < len) {
+            val ch = content.charAt(start + j)
+            buf(j) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+            j += 1
+          }
+          if (!StopwordSet.contains(new String(buf))) words += 1
+        }
+        if (words >= minWords) return true
+      } else i += 1
+    }
     words >= minWords
+  }
+
+  /** Typed twin of [[sentCountFilter]] (same semantics — pinned equal in
+    * SegregateSpec/HashingSpec); used in the crawler's hot path. Both legs
+    * are early-exit scans: the filter only ever needs "reached the
+    * threshold", never the exact counts — the original two
+    * `Pattern.split`s per paragraph (array + substring allocations, full
+    * traversals) were 83% of the whole paragraph stage's cpu at ~10M
+    * paragraphs per crawl wave. */
+  def sentKeepStr(content: String, minSents: Int = 3, minWords: Int = 30): Boolean = {
+    // word leg first: it early-exits after ~minWords tokens, while the
+    // sentence leg must scan to the minSents-th boundary (the whole string
+    // when there are few); OR-semantics make the order free
+    if (wordKeepScan(content, minWords)) return true
+    sentenceScanAtLeast(content, minSents)
+  }
+
+  /** [[sentenceCountScan]] with early exit at `minSents`. */
+  private def sentenceScanAtLeast(content: String, minSents: Int): Boolean = {
+    val n = content.length
+    @inline def isPunct(c: Char) = c == '.' || c == '!' || c == '?'
+    @inline def isWs(c: Char) = c == ' ' || (c >= '\t' && c <= '\r')
+    var i = 0
+    var sents = 0
+    var segHasContent = false
+    while (i < n) {
+      val c = content.charAt(i)
+      if (isPunct(c)) {
+        var j = i + 1
+        while (j < n && isPunct(content.charAt(j))) j += 1
+        if (j >= n || isWs(content.charAt(j))) {
+          while (j < n && isWs(content.charAt(j))) j += 1
+          if (segHasContent) { sents += 1; if (sents >= minSents) return true }
+          segHasContent = false
+          i = j
+        } else { segHasContent = true; i = j }
+      } else {
+        if (c > ' ') segHasContent = true
+        i += 1
+      }
+    }
+    if (segHasContent) sents += 1
+    sents >= minSents
   }
 
   private lazy val StopwordSet: Set[String] = Stopwords.toSet

@@ -234,19 +234,13 @@ object Crawler {
     tick("d1-probe")
 
     // ---- politeness scheduling + fetch ----
-    val sched = Politeness.scheduleFlagged(flagged, cfg).persist()
-    val schedCounts = named("sched-counts")(sched.groupBy($"entry.status", $"scheduled").count() // job 1
-      .collect()).map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // Scheduling counters ride the scheduling mapPartitions as accumulators
+    // and become valid when the fetch-log write materializes the persisted
+    // sched frame — the old dedicated groupBy-count job over sched was 2-3 s
+    // of fixed wall per round, paid identically at every parallelism.
+    val schedCtr = graft.operators.SchedCounters.create(spark)
+    val sched = Politeness.scheduleFlagged(flagged, cfg, Some(schedCtr)).persist()
     tick("schedule")
-    val scheduledCount = schedCounts.collect { case ((_, true), n) => n }.sum
-    val deferredCount = schedCounts.getOrElse(("deferred", false), 0L)
-    val dupUrlCount = schedCounts.getOrElse(("dup", false), 0L)
-    val robotsDeniedCount = schedCounts.getOrElse(("robots", false), 0L)
-    val pendingCount = schedCounts.valuesIterator.sum
-
-    val deferred = sched
-      .filter(s => !s.scheduled && s.entry.status == "deferred")
-      .map(_.entry.copy(status = "pending"))
 
     // ---- fetch → durable events table (fetch_log) ----
     // The raw fetch output carries the doc spans — a WIDE frame. It is
@@ -279,8 +273,28 @@ object Crawler {
     // bounded files ⇒ downstream scans parallelize evenly even though the
     // fetch partitioning is politeness-skewed (dominant court hosts)
     val fetchLogCount = named("fetch+log-write")(Snapshots.writeTable(workDir, round, FetchLogTable, eventsRaw,
-      maxRecordsPerFile = 1000L))
+      // 5000 rows ≈ 25 MB files: still split into ~3 scan tasks each by the
+      // 8 MB bins (skew control intact), but 5× fewer files than the old
+      // 1000-row bound — measured 8% faster at local[32] AND 20% at local[8]
+      // (per-file task-launch/footer/commit overhead steals worker cpu) with
+      // ~40 GB less allocation per wave
+      maxRecordsPerFile = sys.env.getOrElse("GRAFT_FETCHLOG_RECS_PER_FILE", "5000").toLong))
     tick("fetch+write-events")
+    // valid now: the write above materialized the sched cache
+    val scheduledCount = schedCtr.scheduled.value
+    val deferredCount = schedCtr.deferred.value
+    val dupUrlCount = schedCtr.dup.value
+    val robotsDeniedCount = schedCtr.robots.value
+
+    // zero-deferral short-circuit (same rationale as retriesFor: the count
+    // is already known from the scheduling accumulators — an unthrottled
+    // wave must not pay a full re-scan of the sched cache for zero rows)
+    val deferred =
+      if (deferredCount == 0L) spark.emptyDataset[FrontierEntry]
+      else sched
+        .filter(s => !s.scheduled && s.entry.status == "deferred")
+        .map(_.entry.copy(status = "pending"))
+
     val events = Snapshots.readTable(spark, workDir, round, FetchLogTable)
 
     // one fused aggregate for every event-level metric, submitted
@@ -297,12 +311,20 @@ object Crawler {
 
     val okEvents = events.filter($"status" === "ok")
 
-    // retries: transient failures re-enqueued up to maxRetries (C3)
-    val retries = events.filter($"status" =!= "ok")
-      .select(fCols.map(col): _*)
-      .as[FrontierEntry]
-      .filter(_.retry_count + 1 < cfg.maxRetries)
-      .map(e => e.copy(retry_count = e.retry_count + 1, status = "pending"))
+    // retries: transient failures re-enqueued up to maxRetries (C3).
+    // Defined lazily as a FUNCTION of the known failure count: when the
+    // round had zero failures (known from the fused event aggregate), the
+    // retry leg of the next-frontier union collapses to an empty
+    // LocalRelation instead of a full 600-file scan of the fetch_log — in
+    // the all-ok mega wave that scan was 617 no-op task launches riding the
+    // frontier write's critical path.
+    def retriesFor(failCount: Long): Dataset[FrontierEntry] =
+      if (failCount == 0L) spark.emptyDataset[FrontierEntry]
+      else events.filter($"status" =!= "ok")
+        .select(fCols.map(col): _*)
+        .as[FrontierEntry]
+        .filter(_.retry_count + 1 < cfg.maxRetries)
+        .map(e => e.copy(retry_count = e.retry_count + 1, status = "pending"))
 
     // newly seen URLs: everything successfully fetched this round. No
     // distinct: the keep-first fused into the politeness shuffle guarantees
@@ -417,7 +439,12 @@ object Crawler {
     // write early, re-read (see eventsRaw note) — judgments feed the frontier
     val judgCount = named("judgments-write")(Snapshots.writeTable(workDir, round, JudgmentsTable, judgKept))
     tick("judgments-write")
-    val judgmentsDelta = Snapshots.readTable(spark, workDir, round, JudgmentsTable)
+    // pdf-only rounds: judgKept is already an empty LocalRelation — reuse it
+    // instead of re-reading the just-written empty table (schema-infer +
+    // scan-plan latency on a zero-row directory)
+    val judgmentsDelta =
+      if (okCount == docsRawCount) judgKept
+      else Snapshots.readTable(spark, workDir, round, JudgmentsTable)
 
     // next-frontier candidates: kept judgments' hrefs + non-judgment
     // discoveries (next listing pages, resolved pdf urls)
@@ -442,7 +469,7 @@ object Crawler {
     val nextNew = newEntries.withColumn("__rn", row_number().over(wFront))
       .filter($"__rn" === 1).drop("__rn").as[FrontierEntry]
 
-    val nextFrontier = deferred.unionByName(retries).unionByName(nextNew)
+    val nextFrontier = deferred.unionByName(retriesFor(failCount)).unionByName(nextNew)
 
     // ---- docs: D2 + D3 + segregation ----
     // Wide-row discipline: the span payload never enters a shuffle and is

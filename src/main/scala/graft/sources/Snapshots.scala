@@ -48,19 +48,22 @@ object Snapshots {
   def latestRound(dir: String): Option[Int] = committedRounds(dir).lastOption
 
   /** Row count of a written parquet table partition from file footers —
-    * driver-side metadata IO only, no Spark job. */
+    * driver-side metadata IO only, no Spark job. Footer reads run on the
+    * common ForkJoin pool: a politeness-bounded wave writes several hundred
+    * bounded files per table, and reading their footers serially put ~3-5 s
+    * of driver latency on the critical path after every large write. */
   def footerCount(tableDir: String): Long = {
     val p = Paths.get(tableDir)
     if (!Files.exists(p)) return 0L
     val conf = new org.apache.hadoop.conf.Configuration()
-    Files.list(p).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val files = Files.list(p).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toArray
+    java.util.Arrays.stream(files).parallel().mapToLong { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum()
   }
 
   /** Write one table partition for the round (NOT yet visible — visibility

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.io.{ByteArrayInputStream, DataInputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.model.{Doc, Span}
@@ -26,14 +26,6 @@ object Wire {
 
   private val Version: Byte = 1
 
-  @inline private def writeStr(out: DataOutputStream, s: String): Unit =
-    if (s == null) out.writeInt(-1)
-    else {
-      val b = s.getBytes(UTF_8)
-      out.writeInt(b.length)
-      out.write(b)
-    }
-
   @inline private def readStr(in: DataInputStream): String = {
     val n = in.readInt()
     if (n < 0) null
@@ -45,32 +37,121 @@ object Wire {
   }
 
   /** Encode (discoveries, doc) → bytes. Returns null when both are empty so
-    * the parquet column stores a NULL instead of a 6-byte header per row. */
+    * the parquet column stores a NULL instead of a 6-byte header per row.
+    *
+    * Exact-size encoding: the payload length is computed first (UTF-8 byte
+    * counts, no materialization) and ONE array is written with a manual
+    * cursor — the ByteArrayOutputStream version allocated a growing buffer
+    * plus a full `toByteArray` copy per fetch, in the crawl's single
+    * heaviest stage (fetch encodes one payload per URL). Byte layout is
+    * identical (big-endian ints, length-prefixed UTF-8), pinned by the
+    * HashingSpec round-trip. */
   def encode(discovered: Seq[Synth.Discovered], doc: Option[Doc]): Array[Byte] = {
     if (discovered.isEmpty && doc.isEmpty) return null
-    val bos = new ByteArrayOutputStream(256)
-    val out = new DataOutputStream(bos)
-    out.writeByte(Version)
-    out.writeInt(discovered.size)
+    @inline def strSize(s: String): Int = if (s == null) 4 else 4 + utf8Len(s)
+    var size = 1 + 4 // version + discovery count
     discovered.foreach { d =>
-      writeStr(out, d.url); writeStr(out, d.court); writeStr(out, d.query)
-      out.writeInt(d.page); out.writeInt(d.depth); out.writeLong(d.priority)
-      writeStr(out, d.caseNumber); writeStr(out, d.title); writeStr(out, d.date)
-      out.writeInt(d.rank)
+      size += strSize(d.url) + strSize(d.court) + strSize(d.query) + 16 +
+        strSize(d.caseNumber) + strSize(d.title) + strSize(d.date) + 4
+    }
+    size += 1 // doc presence flag
+    doc.foreach { d =>
+      size += strSize(d.doc_id) + 4
+      d.spans.foreach(s => size += strSize(s.kind) + strSize(s.text) + strSize(s.media_ref) + 4)
+    }
+    val b = new Array[Byte](size)
+    var p = 0
+    @inline def putInt(v: Int): Unit = {
+      b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
+      b(p + 2) = (v >>> 8).toByte; b(p + 3) = v.toByte
+      p += 4
+    }
+    @inline def putStr(s: String): Unit =
+      if (s == null) putInt(-1)
+      else {
+        val lenPos = p
+        p += 4
+        val n = writeUtf8(s, b, p)
+        p += n
+        val save = p; p = lenPos; putInt(n); p = save
+      }
+    b(p) = Version; p += 1
+    putInt(discovered.size)
+    discovered.foreach { d =>
+      putStr(d.url); putStr(d.court); putStr(d.query)
+      putInt(d.page); putInt(d.depth)
+      putInt((d.priority >>> 32).toInt); putInt(d.priority.toInt)
+      putStr(d.caseNumber); putStr(d.title); putStr(d.date)
+      putInt(d.rank)
     }
     doc match {
       case Some(d) =>
-        out.writeBoolean(true)
-        writeStr(out, d.doc_id)
-        out.writeInt(d.spans.size)
+        b(p) = 1; p += 1
+        putStr(d.doc_id)
+        putInt(d.spans.size)
         d.spans.foreach { s =>
-          writeStr(out, s.kind); writeStr(out, s.text); writeStr(out, s.media_ref)
-          out.writeInt(s.offset)
+          putStr(s.kind); putStr(s.text); putStr(s.media_ref)
+          putInt(s.offset)
         }
-      case None => out.writeBoolean(false)
+      case None =>
+        b(p) = 0; p += 1
     }
-    out.flush()
-    bos.toByteArray
+    require(p == size, s"wire encode size mismatch: $p != $size")
+    b
+  }
+
+  /** UTF-8 byte length of `s` without materializing bytes. */
+  @inline private def utf8Len(s: String): Int = {
+    var n = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < len &&
+        Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else if (Character.isSurrogate(c)) n += 1 // unpaired → '?' (JDK encoder)
+      else n += 3
+      i += 1
+    }
+    n
+  }
+
+  /** Write `s` as UTF-8 into `b` at `off`; returns bytes written. Matches
+    * `String.getBytes(UTF_8)` for well-formed input (unpaired surrogates
+    * become '?', as the JDK encoder does). */
+  private def writeUtf8(s: String, b: Array[Byte], off: Int): Int = {
+    var p = off
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c < 0x80) { b(p) = c.toByte; p += 1 }
+      else if (c < 0x800) {
+        b(p) = (0xC0 | (c >> 6)).toByte
+        b(p + 1) = (0x80 | (c & 0x3F)).toByte
+        p += 2
+      } else if (Character.isHighSurrogate(c) && i + 1 < len &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c, s.charAt(i + 1))
+        b(p) = (0xF0 | (cp >> 18)).toByte
+        b(p + 1) = (0x80 | ((cp >> 12) & 0x3F)).toByte
+        b(p + 2) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+        b(p + 3) = (0x80 | (cp & 0x3F)).toByte
+        p += 4
+        i += 1
+      } else if (Character.isSurrogate(c)) {
+        b(p) = '?'.toByte; p += 1 // unpaired surrogate: JDK encoder behavior
+      } else {
+        b(p) = (0xE0 | (c >> 12)).toByte
+        b(p + 1) = (0x80 | ((c >> 6) & 0x3F)).toByte
+        b(p + 2) = (0x80 | (c & 0x3F)).toByte
+        p += 3
+      }
+      i += 1
+    }
+    p - off
   }
 
   private def open(bytes: Array[Byte]): DataInputStream = {

@@ -119,6 +119,25 @@ class HashingSpec extends AnyFunSuite {
     assert(graft.sources.Wire.decodeDoc(null) === None)
   }
 
+  test("synth doc text is BMP-only (q_rendering_dedup oracle contract)") {
+    // The q_rendering_dedup DuckDB oracle counts CODE POINTS
+    // (length(s.text)) where the engine's sz counts UTF-16 units, and its
+    // \p{N} strip covers supplementary-plane numerals where the engine's
+    // isNumberChar is BMP-only by design (Dedup.scala). The two agree
+    // precisely BECAUSE the synthetic corpus never leaves the BMP — this
+    // test pins that generator invariant so a vocab change cannot silently
+    // diverge engine and oracle (ADVICE r3).
+    val cfg = SynthConfig()
+    (0L until 200L).foreach { i =>
+      Synth.spansOf(cfg, i).foreach { sp =>
+        Seq(sp.text, sp.media_ref).filter(_ != null).foreach { s =>
+          assert(s.codePoints().allMatch(cp => cp <= 0xFFFF),
+            s"supplementary-plane char in synth doc $i: '$s'")
+        }
+      }
+    }
+  }
+
   test("starterFind scan equals the StarterRegex") {
     val pat = Segregate.StarterRegex.r.pattern
     val cases = Seq(

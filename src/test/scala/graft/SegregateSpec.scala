@@ -109,6 +109,61 @@ class SegregateSpec extends AnyFunSuite {
     assert(kept === Set("p1", "p3"))
   }
 
+  test("sentenceCountScan equals the regex split count (property over punct/ws shapes)") {
+    val pat = java.util.regex.Pattern.compile("[.!?]+(\\s+|$)")
+    def regexCount(s: String): Int = pat.split(s).count(_.trim.nonEmpty)
+    val fixed = Seq(
+      "", " ", ".", "...", "a.", "a.b", "a. b", "a.. .b", "a!!x", "a!. \tb",
+      "one. two! three? four", ". leading", " . ", "a . b", "tab.\tnext",
+      "punct!?. mixed", "end with ws ", "..a..b..", "a.\n\nb.", "¿unicode? sí. ok")
+    // deterministic pseudo-random strings over a punct/ws-heavy alphabet
+    val alphabet = "ab .!?\t\n."
+    var h = 12345L
+    val rand = (1 to 300).map { _ =>
+      val len = { h = h * 6364136223846793005L + 1442695040888963407L; (Math.floorMod(h, 30L)).toInt }
+      (0 until len).map { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        alphabet(Math.floorMod(h, alphabet.length.toLong).toInt)
+      }.mkString
+    }
+    (fixed ++ rand).foreach { s =>
+      assert(Segregate.sentenceCountScan(s) === regexCount(s), s"mismatch on '${s.replace("\n", "\\n").replace("\t", "\\t")}'")
+    }
+  }
+
+  test("sentKeepStr scans equal the reference regex implementation (property)") {
+    val sentPat = java.util.regex.Pattern.compile("[.!?]+(\\s+|$)")
+    val wordPat = java.util.regex.Pattern.compile("[^\\p{L}]+")
+    val stop = Segregate.Stopwords.toSet
+    def ref(content: String, minSents: Int, minWords: Int): Boolean = {
+      val sents = sentPat.split(content).count(_.trim.nonEmpty)
+      if (sents >= minSents) return true
+      wordPat.split(content.toLowerCase).count(w => w.nonEmpty && !stop.contains(w)) >= minWords
+    }
+    val stops = Segregate.Stopwords
+    // word/punct mixes, stopword-heavy, long-token, unicode fallback
+    val fixed = Seq(
+      "", "the the the the", "alpha beta gamma", "word " * 40,
+      "the quick brown fox jumps over the lazy dog " * 4,
+      "One. Two. Three.", "x! y? z.", "through further during once own same",
+      "extraordinarily long tokens everywhere " * 10,
+      "ünïcode wörds ärger " * 12, "mixed ascii ünd unicode the of to " * 8,
+      stops.mkString(" "), (stops.take(20) ++ Seq("contentword")).mkString(" "))
+    var h = 987654321L
+    val vocab = stops ++ Seq("alpha", "beta", "verylongcontentword", "x", ".", "!", "  ", "\t")
+    val rand = (1 to 300).map { _ =>
+      val len = { h = h * 6364136223846793005L + 1442695040888963407L; Math.floorMod(h, 60L).toInt }
+      (0 until len).map { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        vocab(Math.floorMod(h, vocab.length.toLong).toInt)
+      }.mkString(" ")
+    }
+    for (s <- fixed ++ rand; minSents <- Seq(1, 3); minWords <- Seq(5, 30)) {
+      assert(Segregate.sentKeepStr(s, minSents, minWords) === ref(s, minSents, minWords),
+        s"mismatch (minSents=$minSents minWords=$minWords) on '${s.take(80)}'")
+    }
+  }
+
   test("paragraphsRelational equals the typed fold on adversarial span shapes") {
     // shapes the synthetic corpus does NOT produce: heading mid-paragraph
     // (kills the open para), trailing paragraph, leading-space starter (no

@@ -377,19 +377,27 @@ object Bench {
     val (secs, files) = growthBench(32, rounds, nPerRound)
     secs.zip(files).zipWithIndex.foreach { case ((s, f), i) =>
       System.err.println(f"[bench] growth round ${i + 1}: $s%.1f s, seen-scan files=$f") }
-    // Weather-robust statistics: best-of-first-two vs best-of-last-two, PLUS
-    // the OLS slope over all rounds (sec/round; weather is zero-mean across
-    // 24 rounds, so a flat structural cost shows slope ≈ 0).
-    val early = secs.take(2).min
-    val late = secs.takeRight(2).min
-    val n = secs.length
+    // Weather-robust statistics over the STEADY rounds (compaction-trigger
+    // rounds carry the amortized segment-fold work and are reported
+    // separately — including them in a two-endpoint ratio misreads a
+    // scheduled maintenance spike as growth): best-of-first-two vs
+    // best-of-last-two, PLUS the OLS slope (sec/round; weather is zero-mean
+    // across 24 rounds, so a flat structural cost shows slope ≈ 0).
+    val compactEvery = graft.model.CrawlConfig().compactEvery
+    val isCompact = (i: Int) => compactEvery > 0 && (i + 1) % compactEvery == 0
+    val steady = secs.zipWithIndex.filterNot { case (_, i) => isCompact(i) }.map(_._1)
+    val compactSecs = secs.zipWithIndex.filter { case (_, i) => isCompact(i) }.map(_._1)
+    val early = steady.take(2).min
+    val late = steady.takeRight(2).min
+    val n = steady.length
     val xbar = (n - 1) / 2.0
-    val ybar = secs.sum / n
-    val slope = secs.zipWithIndex.map { case (y, x) => (x - xbar) * (y - ybar) }.sum /
-      secs.indices.map(x => (x - xbar) * (x - xbar)).sum
+    val ybar = steady.sum / n
+    val slope = steady.zipWithIndex.map { case (y, x) => (x - xbar) * (y - ybar) }.sum /
+      steady.indices.map(x => (x - xbar) * (x - xbar)).sum
     val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val fl = files.mkString("[", ",", "]")
-    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"ratio_late_over_early":${late / early}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f}"""
+    val cs = compactSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f}"""
   }
 
   /** Run `rounds` consecutive crawl rounds in ONE work dir so history

@@ -134,8 +134,8 @@ object Snapshots {
     * with `round > upto` — file listing, footer reads, and plan size stay
     * O(tail), not O(rounds). */
   def readDeltas(spark: SparkSession, dir: String, table: String): Option[DataFrame] = {
-    val comp = currentBase(dir, table)
-    val upto = comp.map(_._1).getOrElse(0)
+    val segs = currentSegments(dir, table)
+    val upto = segs.lastOption.map(_._2).getOrElse(0)
     val paths = committedRounds(dir)
       .filter(_ > upto)
       .filter(r => Files.exists(Paths.get(tablePath(dir, r, table))))
@@ -143,91 +143,117 @@ object Snapshots {
     val tail =
       if (paths.isEmpty) None
       else Some(spark.read.option("basePath", tableRoot(dir, table)).parquet(paths: _*))
-    (comp, tail) match {
-      case (Some((_, basePath)), Some(t)) =>
-        val base = spark.read.parquet(basePath)
-        Some(base.unionByName(
-          t.select(base.columns.map(org.apache.spark.sql.functions.col): _*)))
-      case (Some((_, basePath)), None) => Some(spark.read.parquet(basePath))
-      case (None, t)                   => t
+    if (segs.isEmpty) tail
+    else {
+      // one multi-path read over all segments (same schema by construction)
+      val base = spark.read.parquet(segs.map(_._3): _*)
+      tail match {
+        case Some(t) =>
+          Some(base.unionByName(
+            t.select(base.columns.map(org.apache.spark.sql.functions.col): _*)))
+        case None => Some(base)
+      }
     }
   }
 
   // ---------------------------------------------------------------------
-  // Delta compaction — the Iceberg `rewrite_data_files` analog. Without it
-  // a delta table accumulates one directory per committed round, and every
-  // history scan pays O(rounds) listing/footer/plan cost (the round-3
-  // growth bench's rising tail). `compact` rewrites base + eligible deltas
-  // into ONE new base directory; visibility flips with an atomic marker
-  // rename, so a crash at any point leaves a consistent store (the stale
-  // base/delta dirs are garbage-collected by the next compact).
-  // At true 10^10 scale a single full rewrite per compaction is replaced by
-  // size-tiered merging (rewrite cost amortized O(log rounds) per row); the
-  // layout below — versioned base dirs + an atomic CURRENT pointer — admits
-  // that evolution without changing readers.
+  // Delta compaction — the Iceberg `rewrite_data_files` analog, TIERED
+  // (LSM-style). Without it a delta table accumulates one directory per
+  // committed round, and every history scan pays O(rounds)
+  // listing/footer/plan cost (the round-3 growth bench's rising tail).
+  // Each `compact` call folds the eligible delta tail into ONE new SEGMENT
+  // (cost O(rounds since the last compaction), NOT O(history) — the
+  // round-4 single-base design re-rewrote the whole accumulated history
+  // every cycle, a linearly growing spike); when `MaxSegments` segments
+  // pile up, one full merge collapses them (amortized O(history /
+  // (K·MaxSegments)) per round — the standard LSM bound). Visibility flips
+  // with an atomic CURRENT-marker rename, so a crash at any point leaves a
+  // consistent store; replaced dirs are GC'd only after the flip.
   // ---------------------------------------------------------------------
+
+  /** Segments per table before a full merge collapses them. */
+  val MaxSegments = 8
 
   private def baseRoot(dir: String, table: String): Path =
     Paths.get(dir, "tables", table, "_base")
   private def baseMarker(dir: String, table: String): Path =
     baseRoot(dir, table).resolve("CURRENT")
 
-  /** (upto, base data path) of the current compacted base, if any. */
-  def currentBase(dir: String, table: String): Option[(Int, String)] = {
+  /** Committed segments, ascending: (fromRound, toRound, data path). */
+  def currentSegments(dir: String, table: String): Seq[(Int, Int, String)] = {
     val m = baseMarker(dir, table)
-    if (!Files.exists(m)) None
-    else {
-      val upto = Files.readString(m).trim.toInt
-      val p = baseRoot(dir, table).resolve(s"upto=$upto")
-      if (Files.exists(p)) Some((upto, p.toString)) else None
-    }
+    if (!Files.exists(m)) return Nil
+    Files.readString(m).linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { name =>
+      val p = baseRoot(dir, table).resolve(name)
+      name.stripPrefix("seg=").split("-") match {
+        case Array(f, t) if Files.exists(p) => Some((f.toInt, t.toInt, p.toString))
+        case _                              => None
+      }
+    }.toSeq.sortBy(_._1)
   }
 
-  /** Rewrite the current base (if any) + all committed deltas with
-    * `round <= upToRound` into one new base covering rounds [1, upToRound].
-    * The `round` column is preserved as a physical column (partition
-    * inference recovers it for tail deltas; the base carries it directly).
-    * No-op when there is nothing new to fold in. Crash-safe: new base data
-    * is written to its own versioned dir, then the CURRENT marker is
-    * atomically renamed; old dirs are deleted only after the flip. */
-  def compact(spark: SparkSession, dir: String, table: String, upToRound: Int): Unit = {
-    val prev = currentBase(dir, table)
-    val prevUpto = prev.map(_._1).getOrElse(0)
-    val deltaRounds = committedRounds(dir)
-      .filter(r => r > prevUpto && r <= upToRound)
-      .filter(r => Files.exists(Paths.get(tablePath(dir, r, table))))
-    if (deltaRounds.isEmpty) return
-    val deltas = spark.read.option("basePath", tableRoot(dir, table))
-      .parquet(deltaRounds.map(r => tablePath(dir, r, table)): _*)
-    val merged = prev match {
-      case Some((_, basePath)) =>
-        val base = spark.read.parquet(basePath)
-        base.unionByName(deltas.select(base.columns.map(org.apache.spark.sql.functions.col): _*))
-      case None => deltas
-    }
-    // binpack: size the base's file count from the input bytes (Iceberg's
-    // rewrite_data_files target-file-size behavior) — without this the base
-    // inherits one output file per input split and files-per-scan never
-    // actually shrinks
-    val targetFileBytes = 128L * 1024 * 1024
-    val inputBytes =
-      (prev.map(_._2).toSeq ++ deltaRounds.map(r => tablePath(dir, r, table)))
-        .map { p =>
-          Files.list(Paths.get(p)).iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(f => Files.size(f)).sum
-        }.sum
-    val nFiles = math.max(1L, (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val target = baseRoot(dir, table).resolve(s"upto=$upToRound")
-    merged.coalesce(nFiles).write.mode("overwrite").parquet(target.toString)
-    // atomic flip: marker rename makes the new base current
+  /** Highest round covered by a segment (0 when none). */
+  def compactedUpTo(dir: String, table: String): Int =
+    currentSegments(dir, table).lastOption.map(_._2).getOrElse(0)
+
+  private def writeMarker(dir: String, table: String, segNames: Seq[String]): Unit = {
     Files.createDirectories(baseRoot(dir, table))
     val tmp = Files.createTempFile(baseRoot(dir, table), "current", ".tmp")
-    Files.writeString(tmp, upToRound.toString)
+    Files.writeString(tmp, segNames.mkString("\n"))
     Files.move(tmp, baseMarker(dir, table), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    // GC: stale base + folded delta dirs (readers already ignore them)
-    prev.foreach { case (_, old) => deleteRecursively(Paths.get(old)) }
+  }
+
+  private def parquetBytes(p: String): Long = {
+    val path = Paths.get(p)
+    if (!Files.exists(path)) 0L
+    else Files.list(path).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(f => Files.size(f)).sum
+  }
+
+  /** Binpacked write of `df` (union of `inputPaths`' data) to `target` —
+    * file count sized from input bytes (Iceberg target-file-size behavior);
+    * without it the output inherits one file per input split and
+    * files-per-scan never actually shrinks. */
+  private def binpackWrite(df: DataFrame, inputPaths: Seq[String], target: Path): Unit = {
+    val targetFileBytes = 128L * 1024 * 1024
+    val inputBytes = inputPaths.map(parquetBytes).sum
+    val nFiles = math.max(1L, (inputBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.coalesce(nFiles).write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** Fold committed deltas with `compactedUpTo < round <= upToRound` into a
+    * new segment; collapse all segments into one when MaxSegments is
+    * reached. The `round` column is preserved as a physical column
+    * (partition inference recovers it for tail deltas; segments carry it
+    * directly). No-op when there is nothing new to fold in. */
+  def compact(spark: SparkSession, dir: String, table: String, upToRound: Int): Unit = {
+    val segs = currentSegments(dir, table)
+    val segUpto = segs.lastOption.map(_._2).getOrElse(0)
+    val deltaRounds = committedRounds(dir)
+      .filter(r => r > segUpto && r <= upToRound)
+      .filter(r => Files.exists(Paths.get(tablePath(dir, r, table))))
+    if (deltaRounds.isEmpty) return
+    val deltaPaths = deltaRounds.map(r => tablePath(dir, r, table))
+    val deltas = spark.read.option("basePath", tableRoot(dir, table))
+      .parquet(deltaPaths: _*)
+    if (segs.size + 1 > MaxSegments) {
+      // full merge: every segment + the delta tail → seg=1-upTo
+      val segDfs = segs.map(s => spark.read.parquet(s._3))
+      val cols = segDfs.head.columns.map(org.apache.spark.sql.functions.col)
+      val merged = (segDfs :+ deltas.select(cols.toSeq: _*)).reduce(_ unionByName _)
+      val name = s"seg=1-$upToRound"
+      binpackWrite(merged, segs.map(_._3) ++ deltaPaths,
+        baseRoot(dir, table).resolve(name))
+      writeMarker(dir, table, Seq(name))
+      segs.foreach(s => deleteRecursively(Paths.get(s._3)))
+    } else {
+      // tier: the delta tail alone → one new segment (O(tail) work)
+      val name = s"seg=${segUpto + 1}-$upToRound"
+      binpackWrite(deltas, deltaPaths, baseRoot(dir, table).resolve(name))
+      writeMarker(dir, table, segs.map(s => s"seg=${s._1}-${s._2}") :+ name)
+    }
     deltaRounds.foreach(r => deleteRecursively(Paths.get(tablePath(dir, r, table))))
   }
 
@@ -237,15 +263,15 @@ object Snapshots {
     }
 
   /** Number of parquet files a [[readDeltas]] scan of `table` would touch
-    * (base + tail) — the growth bench's flat-files-per-scan evidence. */
+    * (segments + tail) — the growth bench's flat-files-per-scan evidence. */
   def scanFileCount(dir: String, table: String): Long = {
     def filesIn(p: Path): Long =
       if (!Files.exists(p)) 0L
       else Files.list(p).iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
-    val comp = currentBase(dir, table)
-    val upto = comp.map(_._1).getOrElse(0)
+    val segs = currentSegments(dir, table)
+    val upto = segs.lastOption.map(_._2).getOrElse(0)
     val tail = committedRounds(dir).filter(_ > upto)
       .map(r => filesIn(Paths.get(tablePath(dir, r, table)))).sum
-    comp.map(c => filesIn(Paths.get(c._2))).getOrElse(0L) + tail
+    segs.map(s => filesIn(Paths.get(s._3))).sum + tail
   }
 }

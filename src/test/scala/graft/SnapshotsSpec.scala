@@ -32,7 +32,7 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, dir, "full").get.as[Int].collect().sorted.toSeq === Seq(20, 30))
   }
 
-  test("compact folds deltas into one base; readDeltas round-trips exactly") {
+  test("compact tiers deltas into segments; readDeltas round-trips exactly") {
     val dir = Files.createTempDirectory("snap4").toString
     (1 to 6).foreach { r =>
       Snapshots.commit(dir, r, Map("delta" -> Seq(r * 10, r * 10 + 1).toDF("x")), Map.empty)
@@ -40,27 +40,29 @@ class SnapshotsSpec extends AnyFunSuite {
     val before = Snapshots.readDeltas(spark, dir, "delta").get
       .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
 
-    // compact rounds 1..4 into a base; 5..6 stay as tail deltas
+    // compact rounds 1..4 into a segment; 5..6 stay as tail deltas
     Snapshots.compact(spark, dir, "delta", 4)
-    assert(Snapshots.currentBase(dir, "delta").map(_._1) === Some(4))
+    assert(Snapshots.compactedUpTo(dir, "delta") === 4)
     // folded delta dirs are GC'd; tail dirs remain
     assert(!Files.exists(Paths.get(Snapshots.tablePath(dir, 2, "delta"))), "folded delta GC'd")
     assert(Files.exists(Paths.get(Snapshots.tablePath(dir, 5, "delta"))), "tail delta kept")
     val afterOne = Snapshots.readDeltas(spark, dir, "delta").get
       .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
-    assert(afterOne === before, "base+tail union must equal the pre-compaction union")
+    assert(afterOne === before, "segments+tail union must equal the pre-compaction union")
 
-    // second compaction folds the old base + the tail (incremental)
+    // second compaction TIERS the tail into a second segment (no rewrite of
+    // the first — O(tail), not O(history))
     Snapshots.compact(spark, dir, "delta", 6)
-    assert(Snapshots.currentBase(dir, "delta").map(_._1) === Some(6))
+    assert(Snapshots.compactedUpTo(dir, "delta") === 6)
+    assert(Snapshots.currentSegments(dir, "delta").map(s => (s._1, s._2)) === Seq((1, 4), (5, 6)))
     val afterTwo = Snapshots.readDeltas(spark, dir, "delta").get
       .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
     assert(afterTwo === before)
-    // files-per-scan collapses to the base's own files
+    // files-per-scan collapses to the segments' own binpacked files
     assert(Snapshots.scanFileCount(dir, "delta") < 6L,
-      s"expected one compacted base, saw ${Snapshots.scanFileCount(dir, "delta")} files")
+      s"expected few segment files, saw ${Snapshots.scanFileCount(dir, "delta")}")
 
-    // later rounds append past the base and stay visible
+    // later rounds append past the segments and stay visible
     Snapshots.commit(dir, 7, Map("delta" -> Seq(70).toDF("x")), Map.empty)
     val withTail = Snapshots.readDeltas(spark, dir, "delta").get
       .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
@@ -68,7 +70,23 @@ class SnapshotsSpec extends AnyFunSuite {
 
     // no-op when nothing new is eligible
     Snapshots.compact(spark, dir, "delta", 6)
-    assert(Snapshots.currentBase(dir, "delta").map(_._1) === Some(6))
+    assert(Snapshots.compactedUpTo(dir, "delta") === 6)
+  }
+
+  test("compact full-merges when MaxSegments is reached; data never changes") {
+    val dir = Files.createTempDirectory("snap5").toString
+    val rounds = Snapshots.MaxSegments + 1 // one compaction per round → overflow
+    (1 to rounds).foreach { r =>
+      Snapshots.commit(dir, r, Map("d" -> Seq(r).toDF("x")), Map.empty)
+      Snapshots.compact(spark, dir, "d", r)
+    }
+    // the (MaxSegments+1)-th compaction collapsed everything into seg=1-N
+    val segs = Snapshots.currentSegments(dir, "d")
+    assert(segs.map(s => (s._1, s._2)) === Seq((1, rounds)),
+      s"expected one merged segment, saw ${segs.map(s => (s._1, s._2))}")
+    val all = Snapshots.readDeltas(spark, dir, "d").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
+    assert(all === (1 to rounds).map(r => (r, r)))
   }
 
   test("manifest records table counts and lineage fields as json") {

@@ -47,6 +47,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", tmpRoot.toString)
       .config("spark.ui.enabled", "false")
+      // 1 MB local-FS write buffer (default 4 KB): every buffer flush rides
+      // Hadoop's IOStatistics counter — boxed-Long churn measured at 5 GB
+      // per mega-wave plus 256× the flush syscalls (JFR, round 4). Must be
+      // set at session build (hadoop conf, not runtime-settable).
+      .config("spark.hadoop.io.file.buffer.size", (1024 * 1024).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -166,6 +166,15 @@ object Crawler {
     // extra file opens, which openCostInBytes keeps bounded.
     spark.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+    // Payload-aware vectorized-reader shape: the default 4096-row batch
+    // means a ~60 MB on-heap column vector PER TASK for the ~15 KB binary
+    // payload column — reserveInternal alone was 90 GB (22%) of the mega
+    // wave's allocation and the single largest GC feeder at local[32] (JFR,
+    // round 4). 512-row batches cut the per-task vector 8×, and off-heap
+    // vectors take the buffer out of the young gen entirely (young GC cost
+    // scales with allocation rate — precisely the 32-thread scaling tax).
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+    spark.conf.set("spark.sql.columnVector.offheap.enabled", "true")
   }
 
   /** One crawl round. Returns (report, next frontier, next frontier count). */
@@ -297,6 +306,23 @@ object Crawler {
 
     val events = Snapshots.readTable(spark, workDir, round, FetchLogTable)
 
+    // ONE narrow, coalesced, cached image of the event log. The fetch_log's
+    // files are payload-sized, so its 8 MB scan bins put ~14 task-splits per
+    // worker thread — right for the two payload consumers (docs/paras), but
+    // the FIVE scalar consumers (event aggregate, seen delta, retry leg,
+    // dedup-hash chain, metrics rollup) each re-paid ~450 task launches +
+    // one Hadoop-conf deserialization per task (~2000 control-flow gzip
+    // EOFExceptions each — 7 GB of exception allocation per wave, JFR round
+    // 4) to read ~150 B/row of scalars. They now share one coalesced cache:
+    // one narrow scan, parallelism-sized jobs, and the seen/metrics deltas
+    // write O(cores) files per round instead of O(payload splits) — which is
+    // also what keeps the history-table file counts flat for the growth
+    // story. The cache is ~200 B/row (payload pruned at the scan), so it is
+    // always memory-resident; spans/payload bytes never enter it.
+    val eventsNarrow = events.select(events.columns.filter(_ != "payload").map(col): _*)
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+      .persist()
+
     // one fused aggregate for every event-level metric, submitted
     // CONCURRENTLY (the result feeds only the report — Awaited at the end,
     // off the critical path). NB: `kind === "pdf"` not a payload probe — the
@@ -304,12 +330,13 @@ object Crawler {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val evAggF = Future(named("ev-agg")(events.agg(
+    val evAggF = Future(named("ev-agg")(eventsNarrow.agg(
       count(when($"status" === "ok", 1)).as("ok"),
       count(when($"status" === "ok" && $"kind" === "pdf", 1)).as("docs_raw")).collect()(0)))
     tick("ev-agg")
 
     val okEvents = events.filter($"status" === "ok")
+    val okNarrow = eventsNarrow.filter($"status" === "ok")
 
     // retries: transient failures re-enqueued up to maxRetries (C3).
     // Defined lazily as a FUNCTION of the known failure count: when the
@@ -320,7 +347,7 @@ object Crawler {
     // frontier write's critical path.
     def retriesFor(failCount: Long): Dataset[FrontierEntry] =
       if (failCount == 0L) spark.emptyDataset[FrontierEntry]
-      else events.filter($"status" =!= "ok")
+      else eventsNarrow.filter($"status" =!= "ok")
         .select(fCols.map(col): _*)
         .as[FrontierEntry]
         .filter(_.retry_count + 1 < cfg.maxRetries)
@@ -331,7 +358,7 @@ object Crawler {
     // at most one fetch per canonical URL per round (retries/deferred go to
     // the NEXT round), so the old .distinct() was a pure exchange+aggregate
     // over the full wave (CrawlSpec pins seen-set equality vs the oracle).
-    val seenDelta = okEvents
+    val seenDelta = okNarrow
       .select($"url_hash", $"canonical_url")
 
     // ---- discoveries → next frontier + judgment metadata ----
@@ -357,7 +384,7 @@ object Crawler {
     // of crashing the typed encoder (ADVICE r3). ----
     val docsHistory = Snapshots.readDeltas(spark, workDir, DocsTable)
     val arrival = Seq($"priority", $"doc_id")
-    val narrowHashed = okEvents
+    val narrowHashed = okNarrow
       .filter($"kind" === "pdf" && $"doc_hashes".isNotNull)
       .select($"doc_id", $"priority", $"court",
         $"doc_hashes.sz".as("sz"),
@@ -523,7 +550,7 @@ object Crawler {
     // per-partition, per-host fetch metrics (north rule: per-partition
     // lineage + metrics; A5 download-size stats — bytes + latency per host).
     // Typed through RoundMetrics so the metrics table's schema is pinned.
-    val metrics = events.groupBy($"partition_id", $"host")
+    val metrics = eventsNarrow.groupBy($"partition_id", $"host")
       .agg(
         count(when($"status" === "ok", 1)).as("fetched"),
         count(when($"status" =!= "ok", 1)).as("failed"),
@@ -590,6 +617,7 @@ object Crawler {
       .parquet(Snapshots.tablePath(workDir, round, FrontierTable)).as[FrontierEntry]
 
     flagged.unpersist(); sched.unpersist(); discoveredDF.unpersist(); keptNarrow.unpersist()
+    eventsNarrow.unpersist()
     (report, committedFrontier, counts(FrontierTable))
   }
 

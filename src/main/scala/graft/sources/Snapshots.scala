@@ -79,6 +79,11 @@ object Snapshots {
   def writeTable(dir: String, round: Int, name: String, df: DataFrame,
       maxRecordsPerFile: Long = 0L): Long = {
     val w = df.write.mode("overwrite")
+      // crawl-state values (urls, hashes, payloads) are near-unique per
+      // column chunk — parquet's dictionary attempt never pays off and its
+      // fastutil hash build was ~3% of wave CPU plus one dictionary page of
+      // allocation per chunk before every fallback (JFR, round 4)
+      .option("parquet.enable.dictionary", "false")
     val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
     w2.parquet(tablePath(dir, round, name))
     footerCount(tablePath(dir, round, name))

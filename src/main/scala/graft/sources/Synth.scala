@@ -343,7 +343,15 @@ object Synth {
       case PdfUrl(c, fid) =>
         val contentId = contentIdOf(cfg, fid)
         val spans = spansOf(cfg, contentId)
-        val bytes = spans.map(s => Option(s.text).map(_.length.toLong).getOrElse(256L)).sum
+        // while-loop, not map().sum: the closure+Option+boxed-Long version
+        // allocated ~3 GB per mega-wave in the fetch hot loop (JFR, round 4)
+        var bytes = 0L
+        var si = 0
+        while (si < spans.length) {
+          val t = spans(si).text
+          bytes += (if (t == null) 256L else t.length.toLong)
+          si += 1
+        }
         FetchOut("ok", "pdf", Nil, Some(Doc(docIdOf(c, fid), spans)), bytes, lat)
       case _ => FetchOut("fail", "unknown", Nil, None, 0L, lat)
     }

@@ -432,21 +432,34 @@ object Wire {
     * `^\p{Z}*\p{N}+\p{Z}*\.` over code points (no backtracking needed —
     * the classes are pairwise disjoint). */
   private def starterAt(b: Array[Byte], start: Int, end: Int): Boolean = {
-    @inline def isZ(t: Int) = t == Character.SPACE_SEPARATOR ||
-      t == Character.LINE_SEPARATOR || t == Character.PARAGRAPH_SEPARATOR
-    @inline def isN(t: Int) = t == Character.DECIMAL_DIGIT_NUMBER ||
-      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+    // ASCII fast paths: below 0x80 the only \p{Z} code point is ' ' and the
+    // only \p{N} are '0'-'9' — this scan runs on every text span of every
+    // fetched doc and Character.getType was a top-5 CPU site (JFR, round 4).
+    @inline def isZcp(cp: Int) =
+      if (cp < 0x80) cp == ' '
+      else {
+        val t = Character.getType(cp)
+        t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+          t == Character.PARAGRAPH_SEPARATOR
+      }
+    @inline def isNcp(cp: Int) =
+      if (cp < 0x80) cp >= '0' && cp <= '9'
+      else {
+        val t = Character.getType(cp)
+        t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+          t == Character.OTHER_NUMBER
+      }
     var p = start
     var step = codePointAt(b, p, end)
-    while (step >= 0 && isZ(Character.getType((step >>> 3).toInt))) {
+    while (step >= 0 && isZcp((step >>> 3).toInt)) {
       p += (step & 7L).toInt; step = codePointAt(b, p, end)
     }
     var digits = false
-    while (step >= 0 && isN(Character.getType((step >>> 3).toInt))) {
+    while (step >= 0 && isNcp((step >>> 3).toInt)) {
       digits = true; p += (step & 7L).toInt; step = codePointAt(b, p, end)
     }
     if (!digits) return false
-    while (step >= 0 && isZ(Character.getType((step >>> 3).toInt))) {
+    while (step >= 0 && isZcp((step >>> 3).toInt)) {
       p += (step & 7L).toInt; step = codePointAt(b, p, end)
     }
     step >= 0 && (step >>> 3) == '.'.toLong

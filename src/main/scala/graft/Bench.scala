@@ -109,7 +109,10 @@ object Bench {
     // bench N fits comfortably in 12 GiB per subprocess.
     // 20g: the doc-hash/segregation kernels are allocation-heavy; at 12g the
     // 32-thread level spent ~25% of run time in GC (stage metrics), which
-    // taxes exactly the level the scaling ratio needs.
+    // taxes exactly the level the scaling ratio needs. 28g/19g-young was
+    // MEASURED WORSE (2.5× on the fetch stage, same weather window, round
+    // 4): past ~14g eden the scavenge's card/root scan and page-fault
+    // footprint outgrow the saved collection count on this VM.
     val mem = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEM", "20g")
     // ~70% young gen: the crawl wave's allocations are overwhelmingly
     // short-lived (row encode/decode churn); a big eden cuts ParallelGC

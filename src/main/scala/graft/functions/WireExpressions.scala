@@ -33,6 +33,12 @@ object WireExpressions {
     StructField("text", StringType),
     StructField("media_ref", StringType),
     StructField("offset", IntegerType)))
+
+  val ParagraphSchema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("paragraph_number", IntegerType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("reference", StringType)))
 }
 
 /** `docHashesStruct(payload)` — the D2/D3 identity columns computed straight
@@ -71,6 +77,33 @@ case class WireSpansExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `wireParagraphs(payload)` — the W1 paragraph fold + P7/P8 filter computed
+  * WHILE the payload bytes are in hand (the fetch projection), as an array
+  * of (page, paragraph_number, content, reference) rows. Paragraphs-at-fetch
+  * removes the tail's dedicated full-payload re-scan: the paragraphs write
+  * then reads only this (column-pruned) array column plus doc_id — at the
+  * mega-wave scale that re-scan was 16 GB + ~700 task launches per round.
+  * Null when the payload carries no doc. Row content is pinned equal to the
+  * typed object path through the shared streaming fold (HashingSpec). */
+case class WireParagraphsExpr(child: Expression, extractor: String = "plain",
+    minSents: Int = 3, minWords: Int = 30) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(WireExpressions.ParagraphSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    graft.sources.Wire.paragraphsArrayData(
+      input.asInstanceOf[Array[Byte]], extractor, minSents, minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ext = ctx.addReferenceObj("extractor", extractor, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sources.Wire.paragraphsArrayData($c, $ext, $minSents, $minWords);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object WireFunctions {
   private def c(e: Expression): Column = GraftExpressionBridge.column(e)
@@ -78,4 +111,5 @@ object WireFunctions {
 
   def docHashesStruct(payload: Column): Column = c(WireDocHashesExpr(e(payload)))
   def wireSpans(payload: Column): Column = c(WireSpansExpr(e(payload)))
+  def wireParagraphs(payload: Column): Column = c(WireParagraphsExpr(e(payload)))
 }

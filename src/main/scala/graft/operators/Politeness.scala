@@ -248,14 +248,15 @@ object Politeness {
       .sortWithinPartitions($"entry.host", $"salt", $"fetchSeq")
       .mapPartitions { it =>
         it.map { s =>
-          val out = Synth.fetch(synthCfg, s.entry.url, s.entry.retry_count)
+          // byte-direct: the pdf payload streams into a per-thread scratch
+          // instead of materializing Span/String objects (Synth.fetchEncoded,
+          // bit-equal to fetch+encode — HashingSpec)
+          val out = Synth.fetchEncoded(synthCfg, s.entry.url, s.entry.retry_count)
           val lat =
             if (minIntervalMicros > 0L) math.max(out.latencyMicros, minIntervalMicros)
             else out.latencyMicros
           FetchEvent(s.entry, s.salt, s.fetchSeq, out.status, out.kind,
-            out.bytes, lat,
-            out.doc.map(_.doc_id).orNull,
-            graft.sources.Wire.encode(out.discovered, out.doc))
+            out.bytes, lat, out.docId, out.payload)
         }
       }
   }

@@ -345,6 +345,23 @@ object Segregate {
 
   private lazy val MaxStopwordLen: Int = Stopwords.map(_.length).max
 
+  /** Every stopword is ≤ 12 lowercase ASCII letters, so a token packs
+    * injectively into a Long (5 bits per letter, codes 1–26, length implied
+    * by the leading-zero structure); membership is a binary search over 87
+    * longs. The per-token `new Array[Char] + new String` the HashSet lookup
+    * needed was ~16 GB of allocation per mega wave (JFR round 4) — all of it
+    * in the paragraph-filter hot loop. */
+  private lazy val StopwordPacked: Array[Long] = {
+    require(Stopwords.forall(w => w.length <= 12 && w.forall(c => c >= 'a' && c <= 'z')),
+      "packed stopword lookup requires ≤12-char lowercase ASCII stopwords")
+    Stopwords.map { w =>
+      var acc = 0L
+      var i = 0
+      while (i < w.length) { acc = (acc << 5) | (w.charAt(i) - 'a' + 1).toLong; i += 1 }
+      acc
+    }.distinct.sorted.toArray
+  }
+
   /** Early-exit scan equivalent of the content-word count
     * (`nonLetterPattern.split(content.toLowerCase).count(w => w.nonEmpty &&
     * !stopword)` >= minWords): tokens are maximal \p{L} runs; ASCII tokens
@@ -382,14 +399,15 @@ object Segregate {
         val len = i - start
         if (len > MaxStopwordLen) words += 1
         else {
-          val buf = new Array[Char](len)
-          var j = 0
-          while (j < len) {
-            val ch = content.charAt(start + j)
-            buf(j) = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+          var acc = 0L
+          var j = start
+          while (j < i) {
+            val ch = content.charAt(j)
+            val lc = if (ch >= 'A' && ch <= 'Z') ch + 32 else ch.toInt
+            acc = (acc << 5) | (lc - 'a' + 1).toLong
             j += 1
           }
-          if (!StopwordSet.contains(new String(buf))) words += 1
+          if (java.util.Arrays.binarySearch(StopwordPacked, acc) < 0) words += 1
         }
         if (words >= minWords) return true
       } else i += 1
@@ -441,6 +459,89 @@ object Segregate {
   }
 
   private lazy val StopwordSet: Set[String] = Stopwords.toSet
+
+  // ---- UTF-8 byte-slice twins of the paragraph filter ----
+  //
+  // The streaming paragraph kernel (Wire.paragraphsFilteredStreaming) folds
+  // span bytes without decoding; these run the SAME filter decisions on the
+  // undecoded slice. Exactness: all delimiter classes here are ASCII
+  // ('.', '!', '?', ' ', '\t'..'\r', letters), and every byte of a multi-byte
+  // UTF-8 sequence is ≥ 0x80, so byte-wise classification agrees with
+  // char-wise on well-formed input; the one place semantics depend on
+  // Unicode classes (the word leg's \p{L} tokens / toLowerCase) detects the
+  // first ≥ 0x80 byte and falls back to the decoded-String path. Pinned
+  // equal to sentKeepStr in SegregateSpec (ASCII + non-ASCII adversarial).
+
+  /** [[sentKeepStr]] on the UTF-8 slice `[start, end)`. */
+  def sentKeepBytes(b: Array[Byte], start: Int, end: Int,
+      minSents: Int = 3, minWords: Int = 30): Boolean = {
+    val w = wordKeepBytes(b, start, end, minWords)
+    if (w > 0) return true
+    if (w < 0) // non-ASCII: exact String/regex semantics
+      return sentKeepStr(new String(b, start, end - start, java.nio.charset.StandardCharsets.UTF_8),
+        minSents, minWords)
+    sentenceScanBytesAtLeast(b, start, end, minSents)
+  }
+
+  /** Word leg on bytes: 1 = keep, 0 = fail, -1 = non-ASCII seen (caller
+    * must fall back to the String path for exact \p{L}/lowercase behavior). */
+  private def wordKeepBytes(b: Array[Byte], start: Int, end: Int, minWords: Int): Int = {
+    var i = start
+    var words = 0
+    while (i < end) {
+      var c = b(i) & 0xFF
+      if (c >= 0x80) return -1
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        val tokStart = i
+        var acc = 0L
+        var bail = false
+        while (!bail && i < end && {
+          c = b(i) & 0xFF
+          if (c >= 0x80) { bail = true; false }
+          else (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        }) {
+          val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+          acc = (acc << 5) | (lc - 'a' + 1).toLong
+          i += 1
+        }
+        if (bail) return -1
+        val len = i - tokStart
+        // acc only consulted when len ≤ MaxStopwordLen (≤ 12): no overflow
+        if (len > MaxStopwordLen || java.util.Arrays.binarySearch(StopwordPacked, acc) < 0)
+          words += 1
+        if (words >= minWords) return 1
+      } else i += 1
+    }
+    if (words >= minWords) 1 else 0
+  }
+
+  /** [[sentenceScanAtLeast]] on bytes (delimiters all ASCII; ≥ 0x80 bytes
+    * classify as content, as their decoded chars would). */
+  private def sentenceScanBytesAtLeast(b: Array[Byte], start: Int, end: Int, minSents: Int): Boolean = {
+    @inline def isPunct(c: Int) = c == '.' || c == '!' || c == '?'
+    @inline def isWs(c: Int) = c == ' ' || (c >= '\t' && c <= '\r')
+    var i = start
+    var sents = 0
+    var segHasContent = false
+    while (i < end) {
+      val c = b(i) & 0xFF
+      if (isPunct(c)) {
+        var j = i + 1
+        while (j < end && isPunct(b(j) & 0xFF)) j += 1
+        if (j >= end || isWs(b(j) & 0xFF)) {
+          while (j < end && isWs(b(j) & 0xFF)) j += 1
+          if (segHasContent) { sents += 1; if (sents >= minSents) return true }
+          segHasContent = false
+          i = j
+        } else { segHasContent = true; i = j }
+      } else {
+        if (c > ' ') segHasContent = true
+        i += 1
+      }
+    }
+    if (segHasContent) sents += 1
+    sents >= minSents
+  }
 
   /** Segregate + filter in one typed pass (zero shuffles, zero interpreted
     * column HOFs — the crawler's paragraph path). */

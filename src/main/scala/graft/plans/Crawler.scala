@@ -160,12 +160,24 @@ object Crawler {
     * tuning applies on a real cluster for span tables. Applied per round so
     * direct `runRound` callers (bench, tests) get it too. */
   private def tuneScanGranularity(spark: SparkSession): Unit = {
-    // 8 MB bins: at 16 MB the docs-table scans produced ~1.7× tasks per
-    // thread at local[32] — two task waves with a mostly-idle second wave
-    // (quantization tax ≈ 2× wall on those stages). Small bins cost a few
-    // extra file opens, which openCostInBytes keeps bounded.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+    // 16 MB bins balance two task-count failure modes on the payload-sized
+    // fetch_log scans: bins much larger than (bytes / ~4×cores) quantize a
+    // wave into ~1.x task rounds with a mostly-idle second round, while very
+    // small bins multiply the fixed per-task tax — task launch, codegen
+    // lookup, and one Hadoop-conf gunzip whose ~2000 control-flow
+    // EOFExceptions alone profiled at 11 GB of allocation per wave across
+    // ~2800 payload-scan tasks (JFR round 4). With the fetch_log now stored
+    // uncompressed (payloads are entropy-coded at origin), on-disk bytes
+    // roughly doubled, so 8 MB bins would have doubled the task count again.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+    // Hadoop vectored IO reads pages through a weak-ref'd buffer pool — under
+    // crawl-wave GC pressure the weak refs die and every read re-allocates
+    // (16.8 GB per wave, JFR round 4). Its range-coalescing win targets
+    // object-store latency; on node-local storage (this engine's scratch
+    // model — and the bench's tmpfs) it is pure extra copies.
+    spark.sparkContext.hadoopConfiguration
+      .set("parquet.hadoop.vectored.io.enabled", "false")
     // Payload-aware vectorized-reader shape: the default 4096-row batch
     // means a ~60 MB on-heap column vector PER TASK for the ~15 KB binary
     // payload column — reserveInternal alone was 90 GB (22%) of the mega
@@ -278,6 +290,14 @@ object Crawler {
         $"latencyMicros".as("latency_micros"), $"partition_id",
         $"doc_id",
         graft.functions.WireFunctions.docHashesStruct($"payload").as("doc_hashes"),
+        // paragraphs-at-fetch (same rationale as hash-at-fetch): the W1
+        // fold + P7/P8 filter run here, while the payload bytes are hot —
+        // the paragraphs write then reads this pruned array column instead
+        // of re-scanning the full payload bytes (16 GB + ~700 task
+        // launches per mega wave). Dup-doomed docs pay the fold too, but
+        // the dedup drop fraction is politeness-bounded and the fold is
+        // ~100 cpu-s/wave vs the re-scan's ~500.
+        graft.functions.WireFunctions.wireParagraphs($"payload").as("paras"),
         $"payload")
     // bounded files ⇒ downstream scans parallelize evenly even though the
     // fetch partitioning is politeness-skewed (dominant court hosts)
@@ -287,7 +307,30 @@ object Crawler {
       // 1000-row bound — measured 8% faster at local[32] AND 20% at local[8]
       // (per-file task-launch/footer/commit overhead steals worker cpu) with
       // ~40 GB less allocation per wave
-      maxRecordsPerFile = sys.env.getOrElse("GRAFT_FETCHLOG_RECS_PER_FILE", "5000").toLong))
+      maxRecordsPerFile = sys.env.getOrElse("GRAFT_FETCHLOG_RECS_PER_FILE", "5000").toLong,
+      // uncompressed: this table is >95% payload column, and fetched-document
+      // bytes are already entropy-coded at origin (real PDFs/gzip responses;
+      // a store-layer codec would re-compress opaque blobs for ~nothing).
+      // Snappy here cost one extra full copy of every page through the
+      // compressor input (BytesInput.toByteArray was a top-3 allocation site,
+      // JFR round 4) plus the compression CPU, at BOTH widths of the scaling
+      // pair. The narrow history/state tables stay on the session default —
+      // their values (urls, hashes, counters) are where parquet encoding pays.
+      compression = "uncompressed",
+      // no min/max statistics for the opaque payload blob: nobody range-
+      // predicates on payload bytes, and parquet's stats tracking copies
+      // every new extreme of a ~26 KB binary (Binary.copy inside
+      // updateStats profiled at 4 GB/wave) into footers nobody reads
+      extraOptions = Map(
+        "parquet.column.statistics.enabled#payload" -> "false",
+        // 32 MB row groups (default 128 MB): every concurrent write task
+        // holds one open row group's pages LIVE on heap, and uncompressed
+        // payload pages doubled that footprint — at 32 writers the default
+        // block size promoted ~4 GB of page buffers per wave into the old
+        // gen and triggered multi-second Full GCs (gc log, round 4). The
+        // 16 MB scan bins split these files at row-group grain regardless.
+        "parquet.block.size" ->
+          (sys.env.getOrElse("GRAFT_FETCHLOG_BLOCK_MB", "32").toLong * 1024 * 1024).toString)))
     tick("fetch+write-events")
     // valid now: the write above materialized the sched cache
     val scheduledCount = schedCtr.scheduled.value
@@ -319,7 +362,8 @@ object Crawler {
     // also what keeps the history-table file counts flat for the growth
     // story. The cache is ~200 B/row (payload pruned at the scan), so it is
     // always memory-resident; spans/payload bytes never enter it.
-    val eventsNarrow = events.select(events.columns.filter(_ != "payload").map(col): _*)
+    val eventsNarrow = events.select(
+        events.columns.filter(c => c != "payload" && c != "paras").map(col): _*)
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
       .persist()
 
@@ -526,18 +570,18 @@ object Crawler {
         keptNarrow.columns.filter(_ != "doc_id").map(col).toSeq): _*)
     val docsWriteF = Future(named("docs-write")(Snapshots.writeTable(workDir, round, DocsTable, docsKept)))
 
-    // paragraphs stream from the SURVIVORS' payloads via the STREAMING fold
-    // (Wire.paragraphsFilteredStreaming — no Span/Doc objects; the object
-    // fold was this round's heaviest stage: 210 cpu-s + 38 s GC at
-    // local[32]); runs concurrently with the docs write (independent jobs
-    // over the same committed log). Survivor-only via the broadcast id join.
+    // paragraphs were computed AT FETCH (wireParagraphs column): this write
+    // reads only (doc_id, paras) — column-pruned, no payload bytes — joins
+    // the broadcast survivor ids, and explodes. Runs concurrently with the
+    // docs write (independent jobs over the same committed log).
     val parasF = Future { named("paras-write") {
-      val paras = okEvents.filter($"kind" === "pdf")
-        .select($"doc_id", $"payload")
+      val paras = okEvents.filter($"kind" === "pdf" && $"paras".isNotNull)
+        .select($"doc_id", $"paras")
         .join(broadcast(keptNarrow.select($"doc_id")), Seq("doc_id"))
-        .select($"payload").as[Array[Byte]]
-        .flatMap(payload => graft.sources.Wire.paragraphsFilteredStreaming(payload, "plain"))
-        .toDF()
+        .select($"doc_id", explode($"paras").as("p"))
+        .select($"doc_id", lit("plain").as("extractor"), $"p.page".as("page"),
+          $"p.paragraph_number".as("paragraph_number"), $"p.content".as("content"),
+          $"p.reference".as("reference"))
       Snapshots.writeTable(workDir, round, ParagraphsTable, paras)
     } }
 

@@ -77,14 +77,17 @@ object Snapshots {
     * semantic (politeness buckets): downstream scans then parallelize by
     * file instead of inheriting one giant partition per dominant host. */
   def writeTable(dir: String, round: Int, name: String, df: DataFrame,
-      maxRecordsPerFile: Long = 0L): Long = {
+      maxRecordsPerFile: Long = 0L, compression: String = null,
+      extraOptions: Map[String, String] = Map.empty): Long = {
     val w = df.write.mode("overwrite")
       // crawl-state values (urls, hashes, payloads) are near-unique per
       // column chunk — parquet's dictionary attempt never pays off and its
       // fastutil hash build was ~3% of wave CPU plus one dictionary page of
       // allocation per chunk before every fallback (JFR, round 4)
       .option("parquet.enable.dictionary", "false")
-    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+      .options(extraOptions)
+    val w1 = if (compression != null) w.option("compression", compression) else w
+    val w2 = if (maxRecordsPerFile > 0) w1.option("maxRecordsPerFile", maxRecordsPerFile) else w1
     w2.parquet(tablePath(dir, round, name))
     footerCount(tablePath(dir, round, name))
   }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import graft.model._
 
 /** Deterministic synthetic crawl universe (zero egress — no wall clock, no
@@ -354,6 +356,138 @@ object Synth {
         }
         FetchOut("ok", "pdf", Nil, Some(Doc(docIdOf(c, fid), spans)), bytes, lat)
       case _ => FetchOut("fail", "unknown", Nil, None, 0L, lat)
+    }
+  }
+
+  // ---- Byte-direct fetch (the scale path) ----
+  //
+  // The Span/String object path above is the REFERENCE semantics (and stays
+  // the oracle for specs); the crawl hot loop uses fetchEncoded, which
+  // streams the pdf payload straight into a per-thread Wire.PayloadWriter.
+  // JFR attribution of the 615k-doc mega wave put ~45 GB (of 270 GB total)
+  // of allocation in this generator's StringBuilder growth + toString +
+  // UTF-8 encode chain — pure young-GC tax at exactly the 32-thread level
+  // the scaling gate measures. Byte equality with the object path is pinned
+  // in HashingSpec over every URL kind (pdf, listing, docpage, failure).
+
+  private val VocabBytes: Array[Array[Byte]] = Vocab.map(_.getBytes(UTF_8))
+  private val VocabUpperBytes: Array[Array[Byte]] = Vocab.map(_.toUpperCase.getBytes(UTF_8))
+  private val KindHeadingB = "heading".getBytes(UTF_8)
+  private val KindTextB = "text".getBytes(UTF_8)
+  private val KindImageB = "image".getBytes(UTF_8)
+  private val KindTableB = "table".getBytes(UTF_8)
+  private val HeadingPrefixB = "IN THE HIGH COURT OF ".getBytes(UTF_8)
+  private val DotSpaceB = ". ".getBytes(UTF_8)
+  private val VideOrderB = " vide order no ".getBytes(UTF_8)
+  private val FigB = "fig_".getBytes(UTF_8)
+
+  /** Byte twin of [[words]] (Vocab is pure ASCII, so `toUpperCase` and UTF-8
+    * length are per-word precomputable). */
+  private def writeWords(w: Wire.PayloadWriter, h0: Long, n: Int, upper: Boolean): Unit = {
+    val vs = if (upper) VocabUpperBytes else VocabBytes
+    var h = h0
+    var i = 0
+    while (i < n) {
+      h = Rng.mix64(h)
+      if (i > 0) w.putByte(' '.toByte)
+      w.putRaw(vs(Rng.bounded(h, Vocab.length.toLong).toInt))
+      i += 1
+    }
+  }
+
+  /** Streams `Wire.encode(Nil, Some(Doc(docId, spansOf(cfg, contentId))))`
+    * into `w` without materializing spans; returns the simulated download
+    * size (the same Σ text-length | 256-per-null-text as [[fetch]]). */
+  private[sources] def writePdfPayload(
+      w: Wire.PayloadWriter, cfg: SynthConfig, contentId: Long, docId: String): Long = {
+    val baseId = baseIdOf(cfg, contentId)
+    val hw = Rng.mix(cfg.seed, 0x59A1L, baseId)
+    val hn = Rng.mix(cfg.seed, 0x59A2L, contentId)
+    val nParas = 20 + Rng.bounded(hw, 41L).toInt
+    w.putByte(Wire.Version)
+    w.putInt(0)  // no discoveries
+    w.putByte(1) // doc present
+    w.putStr(docId)
+    val countAt = w.reserveInt()
+    var off = 0
+    var bytes = 0L
+
+    @inline def beginText(kind: Array[Byte]): Int = { w.putStrBytes(kind); w.reserveInt() }
+    @inline def endText(lenAt: Int, bodyStart: Int): Unit = {
+      val len = w.pos - bodyStart
+      w.patchInt(lenAt, len)
+      bytes += len
+      w.putNullStr() // media_ref
+      w.putInt(off); off += 1
+    }
+
+    var lenAt = beginText(KindHeadingB); var q0 = w.pos
+    w.putRaw(HeadingPrefixB); writeWords(w, hw ^ 0x1, 2, upper = true)
+    endText(lenAt, q0)
+
+    var p = 0
+    var himg = hn
+    while (p < nParas) {
+      val hp = Rng.mix64(hw ^ (0x100L + p))
+      val nSpansInPara = 1 + Rng.bounded(hp, 3L).toInt
+      val serial = Rng.bounded(Rng.mix64(hn ^ p), 9000L) + 100
+      lenAt = beginText(KindTextB); q0 = w.pos
+      w.putDigits(p + 1L); w.putRaw(DotSpaceB)
+      writeWords(w, hp ^ 0x2, 18 + Rng.bounded(hp, 20L).toInt, upper = false)
+      w.putRaw(VideOrderB); w.putDigits(serial)
+      endText(lenAt, q0)
+      var s = 1
+      while (s < nSpansInPara) {
+        lenAt = beginText(KindTextB); q0 = w.pos
+        writeWords(w, Rng.mix64(hp ^ (0x200L + s)), 12 + Rng.bounded(hp ^ s, 14L).toInt, upper = false)
+        endText(lenAt, q0)
+        s += 1
+      }
+      himg = Rng.mix64(himg)
+      if (Rng.bounded(himg, 4L) == 0L) {
+        w.putStrBytes(KindImageB); w.putNullStr() // text null
+        val mAt = w.reserveInt(); val m0 = w.pos
+        w.putRaw(FigB); w.putDigits(contentId); w.putByte('_'.toByte); w.putDigits(p.toLong)
+        w.patchInt(mAt, w.pos - m0)
+        w.putInt(off); off += 1
+        bytes += 256L
+      }
+      if (Rng.bounded(Rng.mix64(himg ^ 0x7L), 5L) == 0L) {
+        w.putStrBytes(KindTableB); w.putNullStr(); w.putNullStr()
+        w.putInt(off); off += 1
+        bytes += 256L
+      }
+      p += 1
+    }
+    w.patchInt(countAt, off)
+    bytes
+  }
+
+  /** [[FetchOut]] already Wire-encoded — what the fetch hot loop consumes. */
+  final case class FetchEnc(status: String, kind: String, docId: String,
+      payload: Array[Byte], bytes: Long, latencyMicros: Long)
+
+  private val payloadScratch: ThreadLocal[Wire.PayloadWriter] =
+    ThreadLocal.withInitial(() => new Wire.PayloadWriter())
+
+  /** [[fetch]] + [[Wire.encode]] fused, with the pdf branch (the payload-
+    * dominant kind) streamed byte-direct. Identical output to the object
+    * path on every field (HashingSpec). */
+  def fetchEncoded(cfg: SynthConfig, url: String, attempt: Int): FetchEnc = {
+    val lat = 200 + Rng.bounded(Rng.mixStr(cfg.seed ^ 0x1A7L, url), 1800L)
+    if (failsAt(cfg, url, attempt)) return FetchEnc("fail", "unknown", null, null, 0L, lat)
+    parseUrl(url) match {
+      case PdfUrl(c, fid) =>
+        val w = payloadScratch.get()
+        w.reset()
+        val contentId = contentIdOf(cfg, fid)
+        val docId = docIdOf(c, fid)
+        val bytes = writePdfPayload(w, cfg, contentId, docId)
+        FetchEnc("ok", "pdf", docId, w.result(), bytes, lat)
+      case _ =>
+        val out = fetch(cfg, url, attempt)
+        FetchEnc(out.status, out.kind, out.doc.map(_.doc_id).orNull,
+          Wire.encode(out.discovered, out.doc), out.bytes, out.latencyMicros)
     }
   }
 

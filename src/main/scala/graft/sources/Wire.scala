@@ -24,7 +24,86 @@ import graft.model.{Doc, Span}
   */
 object Wire {
 
-  private val Version: Byte = 1
+  private[sources] val Version: Byte = 1
+
+  /** Reusable cursor-writer over a growable byte scratch, emitting exactly
+    * the [[encode]] wire layout (big-endian ints, length-prefixed UTF-8,
+    * `-1` length = null string). One instance per task thread, `reset()`
+    * between payloads: a producer that knows its content (the synthetic
+    * fetch, a future real extractor) can stream bytes straight into the
+    * payload without materializing Span/Doc objects or String text first —
+    * the object-path `encode` allocated ~45 GB of StringBuilder/encode churn
+    * per 615k-doc wave (JFR round 4), all of it young-GC tax at exactly the
+    * thread count the scaling gate measures. Byte-for-byte equality with the
+    * object path is pinned by HashingSpec. */
+  final class PayloadWriter(initialCapacity: Int = 1 << 17) {
+    private var b = new Array[Byte](initialCapacity)
+    private var p = 0
+
+    def reset(): Unit = p = 0
+    def pos: Int = p
+
+    @inline private def ensure(n: Int): Unit =
+      if (p + n > b.length) {
+        var c = b.length
+        while (c < p + n) c <<= 1
+        b = java.util.Arrays.copyOf(b, c)
+      }
+
+    def putByte(v: Byte): Unit = { ensure(1); b(p) = v; p += 1 }
+
+    def putInt(v: Int): Unit = {
+      ensure(4)
+      b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
+      b(p + 2) = (v >>> 8).toByte; b(p + 3) = v.toByte
+      p += 4
+    }
+
+    /** Reserve a 4-byte slot (span counts / backfilled string lengths);
+      * returns its position for [[patchInt]]. */
+    def reserveInt(): Int = { ensure(4); val at = p; p += 4; at }
+
+    def patchInt(at: Int, v: Int): Unit = {
+      b(at) = (v >>> 24).toByte; b(at + 1) = (v >>> 16).toByte
+      b(at + 2) = (v >>> 8).toByte; b(at + 3) = v.toByte
+    }
+
+    /** Raw bytes, no length prefix (pre-encoded UTF-8 fragments). */
+    def putRaw(src: Array[Byte]): Unit = {
+      ensure(src.length)
+      System.arraycopy(src, 0, b, p, src.length)
+      p += src.length
+    }
+
+    /** ASCII digits of `v` (non-negative), no length prefix. */
+    def putDigits(v: Long): Unit = {
+      require(v >= 0L)
+      if (v == 0L) { putByte('0'.toByte); return }
+      var n = 0
+      var t = v
+      while (t > 0) { n += 1; t /= 10 }
+      ensure(n)
+      var i = p + n - 1
+      t = v
+      while (t > 0) { b(i) = ('0' + (t % 10).toInt).toByte; i -= 1; t /= 10 }
+      p += n
+    }
+
+    /** Length-prefixed string from pre-encoded bytes (null → -1). */
+    def putStrBytes(src: Array[Byte]): Unit =
+      if (src == null) putInt(-1)
+      else { putInt(src.length); putRaw(src) }
+
+    /** Length-prefixed UTF-8 of a (small, cold-path) String. */
+    def putStr(s: String): Unit =
+      if (s == null) putInt(-1)
+      else putStrBytes(s.getBytes(UTF_8))
+
+    def putNullStr(): Unit = putInt(-1)
+
+    /** One exact-size copy of the written payload. */
+    def result(): Array[Byte] = java.util.Arrays.copyOf(b, p)
+  }
 
   @inline private def readStr(in: DataInputStream): String = {
     val n = in.readInt()
@@ -277,23 +356,104 @@ object Wire {
     * decoded at all. Pinned ≡ the object path in SegregateSpec. Falls back
     * to the object fold if spans arrive offset-unsorted (same contract as
     * [[docHashesStreaming]]). */
+  /** Survivor-paragraph consumer for [[paragraphsFoldStreaming]] — a trait,
+    * not a Function6, so the per-paragraph emit stays unboxed. `buf` is a
+    * reusable scratch: the slice `[start, start+len)` is only valid inside
+    * the call. */
+  trait ParaSink {
+    def emit(page: Int, seq: Int, buf: Array[Byte], start: Int, len: Int,
+        reference: String): Unit
+  }
+
   def paragraphsFilteredStreaming(payload: Array[Byte], extractor: String,
       minSents: Int = 3, minWords: Int = 30): Seq[graft.model.Paragraph] = {
     if (payload == null) return Nil
-    var p = docBlockStart(payload)
-    if (p < 0) return Nil
-    val docIdLen = readIntAt(payload, p)
-    val docId = new String(payload, p + 4, docIdLen, UTF_8)
-    p += 4 + docIdLen
-    val nSpans = readIntAt(payload, p); p += 4
-
-    def fallback: Seq[graft.model.Paragraph] =
+    val p0 = docBlockStart(payload)
+    if (p0 < 0) return Nil
+    val docIdLen = readIntAt(payload, p0)
+    val docId = new String(payload, p0 + 4, docIdLen, UTF_8)
+    val out = Vector.newBuilder[graft.model.Paragraph]
+    val rc = paragraphsFoldStreaming(payload, minSents, minWords, new ParaSink {
+      def emit(page: Int, seq: Int, buf: Array[Byte], start: Int, len: Int,
+          reference: String): Unit =
+        out += graft.model.Paragraph(docId, extractor, page, seq,
+          new String(buf, start, len, UTF_8), reference)
+    })
+    if (rc == FoldUnsorted) // honor the sort contract via the object path
       decodeDoc(payload).toSeq.flatMap(d =>
         graft.operators.Segregate.segregateDoc(d.doc_id, extractor, d.spans)
           .filter(q => graft.operators.Segregate.sentKeepStr(q.content, minSents, minWords)))
+    else out.result()
+  }
 
-    val out = Vector.newBuilder[graft.model.Paragraph]
-    val content = new java.lang.StringBuilder(256)
+  /** The fetch-projection twin ([[graft.functions.WireFunctions.wireParagraphs]]):
+    * survivor paragraphs as Catalyst rows (page, paragraph_number, content,
+    * reference), content built straight from the byte scratch. Null when the
+    * payload carries no doc — mirrors wireSpans/docHashesStruct. */
+  def paragraphsArrayData(payload: Array[Byte], extractor: String,
+      minSents: Int, minWords: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    if (payload == null) return null
+    if (docBlockStart(payload) < 0) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val rc = paragraphsFoldStreaming(payload, minSents, minWords, new ParaSink {
+      def emit(page: Int, seq: Int, buf: Array[Byte], start: Int, len: Int,
+          reference: String): Unit =
+        out += new GenericInternalRow(Array[Any](page, seq,
+          UTF8String.fromBytes(buf, start, len),
+          if (reference == null) null else UTF8String.fromString(reference)))
+    })
+    if (rc == FoldUnsorted) {
+      out.clear()
+      decodeDoc(payload).foreach(d =>
+        graft.operators.Segregate.segregateDoc(d.doc_id, extractor, d.spans)
+          .filter(q => graft.operators.Segregate.sentKeepStr(q.content, minSents, minWords))
+          .foreach(q => out += new GenericInternalRow(Array[Any](q.page, q.paragraph_number,
+            UTF8String.fromString(q.content),
+            if (q.reference == null) null else UTF8String.fromString(q.reference)))))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private val FoldOk = 0
+  private val FoldUnsorted = 1
+
+  /** The W1 fold + P7/P8 filter streamed off payload bytes; survivors go to
+    * `sink`. Returns [[FoldUnsorted]] when span offsets arrive unsorted (the
+    * hash/fold contract is sort-by-offset — callers then run the object
+    * path; never happens for Synth payloads, whose spans are generated in
+    * reading order). */
+  private def paragraphsFoldStreaming(payload: Array[Byte], minSents: Int, minWords: Int,
+      sink: ParaSink): Int = {
+    var p = docBlockStart(payload)
+    val docIdLen = readIntAt(payload, p)
+    p += 4 + docIdLen
+    val nSpans = readIntAt(payload, p); p += 4
+    // Paragraph content accumulates as UTF-8 BYTES in a per-thread scratch;
+    // a String materializes only for filter SURVIVORS (and for starter spans,
+    // whose reference-numeral extraction is a String regex). The
+    // StringBuilder fold decoded + re-encoded every paragraph — ~30 GB of
+    // char[]/String/encode churn per mega wave (JFR round 4). Byte-wise
+    // trim/filter is exact: String.trim strips chars ≤ ' ' and every byte of
+    // a multi-byte UTF-8 sequence is ≥ 0x80 (see Segregate.sentKeepBytes).
+    var cbuf = paraScratch.get()
+    var clen = 0
+    @inline def ensureContent(n: Int): Unit =
+      if (clen + n > cbuf.length) {
+        var c = cbuf.length
+        while (c < clen + n) c <<= 1
+        cbuf = java.util.Arrays.copyOf(cbuf, c)
+        paraScratch.set(cbuf)
+      }
+    @inline def appendSlice(src: Array[Byte], from: Int, until: Int): Unit = {
+      val n = until - from
+      if (n > 0) {
+        ensureContent(n)
+        System.arraycopy(src, from, cbuf, clen, n)
+        clen += n
+      }
+    }
     var hasContent = false
     var reference: String = null
     var open = false
@@ -303,9 +463,12 @@ object Wire {
     var prevOffset = Int.MinValue
     @inline def emit(): Unit = {
       seq += 1
-      val c = content.toString.trim
-      if (graft.operators.Segregate.sentKeepStr(c, minSents, minWords))
-        out += graft.model.Paragraph(docId, extractor, pageStart + 1, seq, c, reference)
+      var s0 = 0
+      var e0 = clen
+      while (s0 < e0 && (cbuf(s0) & 0xFF) <= ' ') s0 += 1
+      while (e0 > s0 && (cbuf(e0 - 1) & 0xFF) <= ' ') e0 -= 1
+      if (graft.operators.Segregate.sentKeepBytes(cbuf, s0, e0, minSents, minWords))
+        sink.emit(pageStart + 1, seq, cbuf, s0, e0 - s0, reference)
     }
     var i = 0
     while (i < nSpans) {
@@ -316,43 +479,67 @@ object Wire {
       val mediaLen = readIntAt(payload, p)
       p = p + 4 + math.max(mediaLen, 0)
       val offset = readIntAt(payload, p); p += 4
-      if (offset < prevOffset) return fallback // honor the sort contract
+      if (offset < prevOffset) return FoldUnsorted // honor the sort contract
       prevOffset = offset
 
       val kind = kindOf(payload, kindStart, math.max(kindLen, 0))
       if (kind eq KindHeading) {
-        open = false; content.setLength(0); hasContent = false; reference = null
+        open = false; clen = 0; hasContent = false; reference = null
         page += 1
       } else if ((kind eq KindText) && textLen >= 0) {
-        val isStarter = starterAt(payload, textStart, textStart + textLen)
+        val textEnd = textStart + textLen
+        val isStarter = starterAt(payload, textStart, textEnd)
         if (isStarter) {
           if (open && hasContent) emit()
           // starter spans are the one place the span text materializes: the
           // reference-numeral extraction is a String regex
           val s = new String(payload, textStart, textLen, UTF_8)
           val m = graft.operators.Segregate.referenceMatcher(s)
+          clen = 0
+          var st = textStart
           if (m.find()) {
             reference = graft.operators.Segregate.stripSpaces(m.group(1))
-            content.setLength(0)
-            content.append(s.substring(m.end()).trim)
-          } else {
-            reference = null
-            content.setLength(0)
-            content.append(s.trim)
-          }
+            st = byteOffsetOfChar(payload, textStart, textEnd, m.end())
+          } else reference = null
+          // byte twin of substring(m.end()).trim / s.trim
+          var en = textEnd
+          while (st < en && (payload(st) & 0xFF) <= ' ') st += 1
+          while (en > st && (payload(en - 1) & 0xFF) <= ' ') en -= 1
+          appendSlice(payload, st, en)
           hasContent = true
           pageStart = page
           open = true
         } else if (open) {
-          content.append(' ')
-          foreachChar(payload, textStart, textStart + textLen)(content.append(_))
+          ensureContent(1)
+          cbuf(clen) = ' '; clen += 1
+          appendSlice(payload, textStart, textEnd)
         }
       } // tables/images/null-text spans: skipped, never decoded
       i += 1
     }
     // no final flush — the trailing open paragraph is dropped (reference
     // quirk preserved; see Segregate.segregateDoc)
-    out.result()
+    FoldOk
+  }
+
+  private val paraScratch: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](1 << 13))
+
+  /** Byte offset of the `chars`-th UTF-16 char inside the UTF-8 slice
+    * `[start, end)` (4-byte sequences count as two chars — a surrogate
+    * pair). Callers only pass regex match ends, which land on ASCII, so the
+    * result never splits a sequence. */
+  private def byteOffsetOfChar(b: Array[Byte], start: Int, end: Int, chars: Int): Int = {
+    var p = start
+    var c = 0
+    while (p < end && c < chars) {
+      val b0 = b(p) & 0xFF
+      if (b0 < 0x80) { p += 1; c += 1 }
+      else if (b0 < 0xE0) { p += 2; c += 1 }
+      else if (b0 < 0xF0) { p += 3; c += 1 }
+      else { p += 4; c += 2 }
+    }
+    p
   }
 
   /** [[docHashesStreaming]] rendered straight to a Catalyst struct row for

@@ -119,6 +119,31 @@ class HashingSpec extends AnyFunSuite {
     assert(graft.sources.Wire.decodeDoc(null) === None)
   }
 
+  test("fetchEncoded equals fetch+encode on every URL kind, bit-for-bit") {
+    // The crawl hot loop streams pdf payloads byte-direct
+    // (Synth.writePdfPayload into a Wire.PayloadWriter); this pins it to the
+    // Span/String object path across pdf / listing / docpage / failure URLs,
+    // including a failRate config so the fail branch is exercised.
+    for (cfg <- Seq(SynthConfig(), SynthConfig(failRate = 0.3, seed = 7L))) {
+      val urls =
+        (0L until 40L).map(fid => Synth.pdfUrl(cfg, (fid % cfg.courts).toInt, fid * 64 + (fid % cfg.courts))) ++
+        (0 until cfg.courts).flatMap(c => (0 until 2).map(q => Synth.listingUrl(c, q, 1))) ++
+        (0 until cfg.courts).map(c => Synth.docPageHref(cfg, c, Synth.caseIdOf(cfg, c, 0, 1, 0), 5L)) ++
+        Seq("https://nowhere.example.org/unknown")
+      for (url <- urls; attempt <- Seq(0, 1, 2)) {
+        val out = Synth.fetch(cfg, url, attempt)
+        val enc = Synth.fetchEncoded(cfg, url, attempt)
+        assert(enc.status === out.status, url)
+        assert(enc.kind === out.kind, url)
+        assert(enc.docId === out.doc.map(_.doc_id).orNull, url)
+        assert(enc.bytes === out.bytes, url)
+        assert(enc.latencyMicros === out.latencyMicros, url)
+        val expected = graft.sources.Wire.encode(out.discovered, out.doc)
+        assert(java.util.Arrays.equals(enc.payload, expected), s"payload bytes differ for $url attempt $attempt")
+      }
+    }
+  }
+
   test("synth doc text is BMP-only (q_rendering_dedup oracle contract)") {
     // The q_rendering_dedup DuckDB oracle counts CODE POINTS
     // (length(s.text)) where the engine's sz counts UTF-16 units, and its

@@ -131,6 +131,38 @@ class SegregateSpec extends AnyFunSuite {
     }
   }
 
+  test("sentKeepBytes equals sentKeepStr on the UTF-8 slice (property incl. non-ASCII)") {
+    val fixed = Seq(
+      "", " ", "the the the", "One. Two. Three.", "word " * 35,
+      "the of to in on for with by " * 5, "a! b? c.", "x.. y",
+      "ünïcode wörds " * 12, "mixed ascii ünd the of " * 8,
+      "𐄇 supplementary. Two. Three.", "word𐄇glued " * 35,
+      "é", "café. thé. ok.", "  padded  ", "\t\ntabs.\nnew. lines.",
+      Segregate.Stopwords.mkString(" "),
+      (Segregate.Stopwords.take(15) ++ Seq("realword")).mkString(" ") * 3)
+    // BMP-only alphabet: indexing by char would split a supplementary pair
+    // into unpaired surrogates, and the JDK encoder turns those into '?' —
+    // the byte and String paths would then see different content
+    val alphabet = "abc theof .!?üé\t"
+    var h = 5555L
+    val rand = (1 to 400).map { _ =>
+      val len = { h = h * 6364136223846793005L + 1442695040888963407L; Math.floorMod(h, 60L).toInt }
+      (0 until len).map { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        alphabet(Math.floorMod(h, alphabet.length.toLong).toInt)
+      }.mkString
+    }
+    for (s <- fixed ++ rand; minSents <- Seq(1, 3); minWords <- Seq(3, 30)) {
+      val b = s.getBytes("UTF-8")
+      // embed in padding to prove slice offsets are honored
+      val padded = ("XX" + s + "YY").getBytes("UTF-8")
+      assert(Segregate.sentKeepBytes(b, 0, b.length, minSents, minWords)
+        === Segregate.sentKeepStr(s, minSents, minWords), s"'$s' ($minSents,$minWords)")
+      assert(Segregate.sentKeepBytes(padded, 2, padded.length - 2, minSents, minWords)
+        === Segregate.sentKeepStr(s, minSents, minWords), s"padded '$s'")
+    }
+  }
+
   test("sentKeepStr scans equal the reference regex implementation (property)") {
     val sentPat = java.util.regex.Pattern.compile("[.!?]+(\\s+|$)")
     val wordPat = java.util.regex.Pattern.compile("[^\\p{L}]+")

@@ -135,6 +135,19 @@ object Dedup {
     def lane1: Long = h1
   }
 
+  /** [[Fnv128.hex]] for lane values held as plain longs (the streaming
+    * kernel keeps its lanes in locals/scratch, not Fnv128 objects). */
+  private[graft] def fnvHex(h1: Long, h2: Long): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(15 - i) = Character.forDigit(((h1 >>> (i * 4)) & 0xF).toInt, 16)
+      out(31 - i) = Character.forDigit(((h2 >>> (i * 4)) & 0xF).toInt, 16)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Chars the nodigits rendering strips: Java regex `(?U)\p{N}` =
     * DECIMAL_DIGIT_NUMBER | LETTER_NUMBER | OTHER_NUMBER.
     *

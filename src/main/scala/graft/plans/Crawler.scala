@@ -562,8 +562,17 @@ object Crawler {
     // array, straight to Catalyst rows — WireSpansExpr): the round-3 UDF
     // decoded Seq[Span] objects for the struct encoder to re-encode, and that
     // object churn was 45 s of GC in this stage alone at local[32]
+    // Task-count discipline for the two tail scans: the fetch_log's 16 MB
+    // bins are sized for the payload column, so a scan of it spawns
+    // O(payload_bytes / 16 MB) tasks (~1,200 per mega wave) even when the
+    // read is narrow — and each task pays launch + codegen-lookup + Hadoop
+    // conf overhead. Coalesce (no shuffle: adjacent bins merge into one
+    // task) to ~4 waves per thread; on a cluster defaultParallelism scales
+    // with executors, so the grain stays right at any width.
+    val tailTasks = math.max(1, spark.sparkContext.defaultParallelism * 4)
     val docsKept = okEvents.filter($"kind" === "pdf")
       .select($"doc_id", $"payload")
+      .coalesce(tailTasks)
       .join(broadcast(keptNarrow), Seq("doc_id"))
       .withColumn("spans", graft.functions.WireFunctions.wireSpans($"payload"))
       .select((Seq($"doc_id", $"spans") ++
@@ -577,6 +586,7 @@ object Crawler {
     val parasF = Future { named("paras-write") {
       val paras = okEvents.filter($"kind" === "pdf" && $"paras".isNotNull)
         .select($"doc_id", $"paras")
+        .coalesce(tailTasks)
         .join(broadcast(keptNarrow.select($"doc_id")), Seq("doc_id"))
         .select($"doc_id", explode($"paras").as("p"))
         .select($"doc_id", lit("plain").as("extractor"), $"p.page".as("page"),

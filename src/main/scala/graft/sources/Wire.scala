@@ -576,28 +576,116 @@ object Wire {
     if (n < 0) p + 4 else p + 4 + n
   }
 
-  /** Stream the UTF-16 chars of the UTF-8 slice [start, end) into `f`.
-    * Returns the number of chars emitted. Exactly the char sequence of
-    * `new String(bytes, UTF_8)` for well-formed input (ours is: every slice
-    * was produced by String.getBytes(UTF_8)). */
-  private def foreachChar(b: Array[Byte], start: Int, end: Int)(f: Char => Unit): Int = {
+  // FNV-1a lane constants (public-domain Fowler–Noll–Vo 64-bit offset basis
+  // and prime; lane 2 is the splitmix64 golden-ratio odd multiplier) — the
+  // same pair Dedup.Fnv128 uses. The streaming kernel keeps its 4 lane pairs
+  // in a long[8] scratch (content, plain, nodigits, marked) and folds chars
+  // with inline arithmetic: the previous `foreachChar(f: Char => Unit)`
+  // shape put a megamorphic, unspecialized (Char boxes through
+  // Function1[Object,Object]) virtual call on EVERY char of every fetched
+  // doc — the single hottest call site of the crawl wave (JFR round 4).
+  private final val FnvSeed1 = 0xcbf29ce484222325L
+  private final val FnvSeed2 = 0x6c62272e07bb0142L
+  private final val FnvK1 = 0x100000001b3L
+  private final val FnvK2 = 0x9e3779b97f4a7c15L
+
+  @inline private def fnvChar(st: Array[Long], i0: Int, c: Char): Unit = {
+    st(i0) = (st(i0) ^ c) * FnvK1
+    st(i0 + 1) = (st(i0 + 1) ^ c) * FnvK2
+  }
+
+  private def fnvStr(st: Array[Long], i0: Int, s: String): Unit = {
+    var h1 = st(i0); var h2 = st(i0 + 1)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h1 = (h1 ^ c) * FnvK1; h2 = (h2 ^ c) * FnvK2
+      i += 1
+    }
+    st(i0) = h1; st(i0 + 1) = h2
+  }
+
+  /** Decode the UTF-8 slice once (char sequence of `new String(b, UTF_8)`
+    * for well-formed input), folding every char into the CONTENT lane pair
+    * only. Returns the char count. */
+  private def fnvContentSlice(b: Array[Byte], start: Int, end: Int, st: Array[Long]): Int = {
+    var h1 = st(0); var h2 = st(1)
     var p = start
     var count = 0
     while (p < end) {
       val b0 = b(p) & 0xFF
-      if (b0 < 0x80) { f(b0.toChar); p += 1; count += 1 }
-      else if (b0 < 0xE0) {
-        f((((b0 & 0x1F) << 6) | (b(p + 1) & 0x3F)).toChar); p += 2; count += 1
+      if (b0 < 0x80) {
+        h1 = (h1 ^ b0) * FnvK1; h2 = (h2 ^ b0) * FnvK2
+        p += 1; count += 1
+      } else if (b0 < 0xE0) {
+        val c = ((b0 & 0x1F) << 6) | (b(p + 1) & 0x3F)
+        h1 = (h1 ^ c) * FnvK1; h2 = (h2 ^ c) * FnvK2
+        p += 2; count += 1
       } else if (b0 < 0xF0) {
-        f((((b0 & 0x0F) << 12) | ((b(p + 1) & 0x3F) << 6) | (b(p + 2) & 0x3F)).toChar)
+        val c = ((b0 & 0x0F) << 12) | ((b(p + 1) & 0x3F) << 6) | (b(p + 2) & 0x3F)
+        h1 = (h1 ^ c) * FnvK1; h2 = (h2 ^ c) * FnvK2
         p += 3; count += 1
       } else {
         val cp = ((b0 & 0x07) << 18) | ((b(p + 1) & 0x3F) << 12) |
           ((b(p + 2) & 0x3F) << 6) | (b(p + 3) & 0x3F)
-        f(Character.highSurrogate(cp)); f(Character.lowSurrogate(cp))
+        val hi = Character.highSurrogate(cp); val lo = Character.lowSurrogate(cp)
+        h1 = (h1 ^ hi) * FnvK1; h2 = (h2 ^ hi) * FnvK2
+        h1 = (h1 ^ lo) * FnvK1; h2 = (h2 ^ lo) * FnvK2
         p += 4; count += 2
       }
     }
+    st(0) = h1; st(1) = h2
+    count
+  }
+
+  /** One decode pass over a text span of a render-eligible (text/heading)
+    * span, folding each char into ALL FOUR lane pairs — content, plain,
+    * marked unconditionally; nodigits gated on !isNumberChar exactly like
+    * the object path's rendering strip. Returns the char count. */
+  private def fnvTextAll(b: Array[Byte], start: Int, end: Int, st: Array[Long]): Int = {
+    var c1 = st(0); var c2 = st(1)
+    var p1 = st(2); var p2 = st(3)
+    var n1 = st(4); var n2 = st(5)
+    var m1 = st(6); var m2 = st(7)
+    var p = start
+    var count = 0
+    while (p < end) {
+      val b0 = b(p) & 0xFF
+      if (b0 < 0x80) {
+        c1 = (c1 ^ b0) * FnvK1; c2 = (c2 ^ b0) * FnvK2
+        p1 = (p1 ^ b0) * FnvK1; p2 = (p2 ^ b0) * FnvK2
+        if (b0 < '0' || b0 > '9') { n1 = (n1 ^ b0) * FnvK1; n2 = (n2 ^ b0) * FnvK2 }
+        m1 = (m1 ^ b0) * FnvK1; m2 = (m2 ^ b0) * FnvK2
+        p += 1; count += 1
+      } else {
+        var c: Char = 0; var c2nd: Char = 0
+        if (b0 < 0xE0) {
+          c = (((b0 & 0x1F) << 6) | (b(p + 1) & 0x3F)).toChar; p += 2; count += 1
+        } else if (b0 < 0xF0) {
+          c = (((b0 & 0x0F) << 12) | ((b(p + 1) & 0x3F) << 6) | (b(p + 2) & 0x3F)).toChar
+          p += 3; count += 1
+        } else {
+          val cp = ((b0 & 0x07) << 18) | ((b(p + 1) & 0x3F) << 12) |
+            ((b(p + 2) & 0x3F) << 6) | (b(p + 3) & 0x3F)
+          c = Character.highSurrogate(cp); c2nd = Character.lowSurrogate(cp)
+          p += 4; count += 2
+        }
+        c1 = (c1 ^ c) * FnvK1; c2 = (c2 ^ c) * FnvK2
+        p1 = (p1 ^ c) * FnvK1; p2 = (p2 ^ c) * FnvK2
+        if (!graft.operators.Dedup.isNumberChar(c)) { n1 = (n1 ^ c) * FnvK1; n2 = (n2 ^ c) * FnvK2 }
+        m1 = (m1 ^ c) * FnvK1; m2 = (m2 ^ c) * FnvK2
+        if (c2nd != 0) {
+          c1 = (c1 ^ c2nd) * FnvK1; c2 = (c2 ^ c2nd) * FnvK2
+          p1 = (p1 ^ c2nd) * FnvK1; p2 = (p2 ^ c2nd) * FnvK2
+          if (!graft.operators.Dedup.isNumberChar(c2nd)) { n1 = (n1 ^ c2nd) * FnvK1; n2 = (n2 ^ c2nd) * FnvK2 }
+          m1 = (m1 ^ c2nd) * FnvK1; m2 = (m2 ^ c2nd) * FnvK2
+        }
+      }
+    }
+    st(0) = c1; st(1) = c2
+    st(2) = p1; st(3) = p2
+    st(4) = n1; st(5) = n2
+    st(6) = m1; st(7) = m2
     count
   }
 
@@ -699,10 +787,12 @@ object Wire {
 
     val nSpans = readIntAt(payload, p); p += 4
     var sz = 0L
-    val content = new graft.operators.Dedup.Fnv128
-    val plain = new graft.operators.Dedup.Fnv128
-    val nodigits = new graft.operators.Dedup.Fnv128
-    val marked = new graft.operators.Dedup.Fnv128
+    // lane scratch: (content, plain, nodigits, marked) × (lane1, lane2)
+    val st = new Array[Long](8)
+    st(0) = FnvSeed1; st(1) = FnvSeed2
+    st(2) = FnvSeed1; st(3) = FnvSeed2
+    st(4) = FnvSeed1; st(5) = FnvSeed2
+    st(6) = FnvSeed1; st(7) = FnvSeed2
     var prefix = 0L
     var firstSeen = false
     var firstPiece = true
@@ -722,42 +812,38 @@ object Wire {
       prevOffset = offset
 
       val kind = kindOf(payload, kindStart, math.max(kindLen, 0))
+      val isRender = (kind eq KindText) || (kind eq KindHeading)
       // content identity over all fields, with presence/field delimiters
-      // (mirrors Dedup.docHashes char for char)
-      content.updateStr(kind); content.update(0)
-      if (textLen >= 0)
-        sz += foreachChar(payload, textStart, textStart + textLen)(content.update)
-      else sz += 256L
-      content.update(1)
-      if (mediaLen >= 0) foreachChar(payload, mediaStart, mediaStart + mediaLen)(content.update)
-      content.update(2)
-      content.update((offset & 0xFFFF).toChar)
-      content.update(((offset >> 16) & 0xFFFF).toChar)
-      if (!firstSeen) { firstSeen = true; prefix = content.lane1 }
-
-      if ((kind eq KindText) || (kind eq KindHeading)) {
+      // (mirrors Dedup.docHashes char for char). Lanes are independent, so
+      // the render markers may be applied before the fused text pass as long
+      // as each LANE sees its chars in the object-path order.
+      fnvStr(st, 0, kind); fnvChar(st, 0, 0)
+      if (isRender) {
         if (!firstPiece) {
-          plain.update('\n'); plain.update('\n')
-          nodigits.update('\n'); nodigits.update('\n')
-          marked.update('\n'); marked.update('\n')
+          fnvStr(st, 2, "\n\n"); fnvStr(st, 4, "\n\n"); fnvStr(st, 6, "\n\n")
         }
         firstPiece = false
-        if (kind eq KindHeading) marked.updateStr("[Heading]\n")
+        if (kind eq KindHeading) fnvStr(st, 6, "[Heading]\n")
         else if (textLen >= 0 && starterAt(payload, textStart, textStart + textLen))
-          marked.updateStr("[Paragraph]\n")
+          fnvStr(st, 6, "[Paragraph]\n")
         if (textLen < 0) { // "null" — matches the string renderings' mkString
-          plain.updateStr("null"); nodigits.updateStr("null"); marked.updateStr("null")
-        } else {
-          foreachChar(payload, textStart, textStart + textLen) { c =>
-            plain.update(c)
-            if (!graft.operators.Dedup.isNumberChar(c)) nodigits.update(c)
-            marked.update(c)
-          }
-        }
+          fnvStr(st, 2, "null"); fnvStr(st, 4, "null"); fnvStr(st, 6, "null")
+          sz += 256L
+        } else sz += fnvTextAll(payload, textStart, textStart + textLen, st)
+      } else {
+        if (textLen >= 0) sz += fnvContentSlice(payload, textStart, textStart + textLen, st)
+        else sz += 256L
       }
+      fnvChar(st, 0, 1)
+      if (mediaLen >= 0) fnvContentSlice(payload, mediaStart, mediaStart + mediaLen, st)
+      fnvChar(st, 0, 2)
+      fnvChar(st, 0, (offset & 0xFFFF).toChar)
+      fnvChar(st, 0, ((offset >> 16) & 0xFFFF).toChar)
+      if (!firstSeen) { firstSeen = true; prefix = st(0) }
       i += 1
     }
-    graft.operators.Dedup.DocHashes(docId, priority, court, sz, prefix, content.hex,
-      plain.hex, nodigits.hex, marked.hex)
+    import graft.operators.Dedup.fnvHex
+    graft.operators.Dedup.DocHashes(docId, priority, court, sz, prefix,
+      fnvHex(st(0), st(1)), fnvHex(st(2), st(3)), fnvHex(st(4), st(5)), fnvHex(st(6), st(7)))
   }
 }

@@ -380,6 +380,21 @@ object Synth {
   private val DotSpaceB = ". ".getBytes(UTF_8)
   private val VideOrderB = " vide order no ".getBytes(UTF_8)
   private val FigB = "fig_".getBytes(UTF_8)
+  private val HttpsB = "https://".getBytes(UTF_8)
+  private val ViewCaseB = "/view?case=".getBytes(UTF_8)
+  private val AmpIdB = "&ID=".getBytes(UTF_8)
+  private val SearchQueryB = "/search?query=".getBytes(UTF_8)
+  private val AmpQidB = "&qid=".getBytes(UTF_8)
+  private val AmpPageB = "&page=".getBytes(UTF_8)
+  private val VsB = " VS ".getBytes(UTF_8)
+  private val SlashB = "/".getBytes(UTF_8)
+  private val PdfPathB = "/pdf/".getBytes(UTF_8)
+  private val DotPdfB = ".pdf".getBytes(UTF_8)
+  private val MirrorB = "mirror-".getBytes(UTF_8)
+  private val ExampleOrgB = ".example.org".getBytes(UTF_8)
+  private val QueriesPoolB: Array[Array[Byte]] = QueriesPool.map(_.getBytes(UTF_8)).toArray
+  private val QueriesPoolPlusB: Array[Array[Byte]] =
+    QueriesPool.map(_.replace(' ', '+').getBytes(UTF_8)).toArray
 
   /** Byte twin of [[words]] (Vocab is pure ASCII, so `toUpperCase` and UTF-8
     * length are per-word precomputable). */
@@ -463,6 +478,102 @@ object Synth {
     bytes
   }
 
+  /** Streams `Wire.encode(rows ++ next, None)` of the listing branch of
+    * [[fetch]] — one Discovered block per case row plus the next-page link —
+    * without materializing Discovered/String objects. The listing wave is
+    * round 1 of every crawl (and the whole of it at high court/query
+    * fan-out): its per-discovery URL/title/caseNumber string concat chain
+    * profiled as the round-1 GC wall (279 s of GC in one 32-task stage,
+    * stage listener round 4). */
+  private[sources] def writeListingPayload(
+      w: Wire.PayloadWriter, cfg: SynthConfig, c: Int, q: Int, page: Int): Unit = {
+    val hostB = courtHost(c).getBytes(UTF_8)
+    val courtB = courtName(c).getBytes(UTF_8)
+    val qi = q % QueriesPool.length
+    val hasNext = page < cfg.pagesPerQuery
+    w.putByte(Wire.Version)
+    w.putInt(cfg.rowsPerPage + (if (hasNext) 1 else 0))
+    var rank = 0
+    while (rank < cfg.rowsPerPage) {
+      val caseId = caseIdOf(cfg, c, q, page, rank)
+      val junk = Rng.mix(cfg.seed, 0x1DL, rowIndex(cfg, c, q, page, rank))
+      // url = docPageHref(cfg, c, caseId, junk)
+      var at = w.reserveInt(); var p0 = w.pos
+      w.putRaw(HttpsB); w.putRaw(hostB); w.putRaw(ViewCaseB)
+      w.putDigits(caseId); w.putRaw(AmpIdB); w.putDigitsUnsigned(junk)
+      w.patchInt(at, w.pos - p0)
+      w.putStrBytes(courtB)
+      w.putStrBytes(QueriesPoolB(qi))
+      w.putInt(page); w.putInt(1)
+      val pr = priorityOf(c, q, page, rank, 1)
+      w.putInt((pr >>> 32).toInt); w.putInt(pr.toInt)
+      // caseNumber(cfg, c, caseId)
+      at = w.reserveInt(); p0 = w.pos
+      w.putRaw(courtB); w.putByte(' '.toByte)
+      w.putDigits(Rng.bounded(Rng.mix(cfg.seed, 0x11L, caseId), 99999L) + 1)
+      w.putRaw(SlashB)
+      w.putDigits(2010 + Rng.bounded(Rng.mix(cfg.seed, 0x12L, caseId), 13L))
+      w.patchInt(at, w.pos - p0)
+      // titleOf(cfg, caseId)
+      at = w.reserveInt(); p0 = w.pos
+      val ht = Rng.mix(cfg.seed, 0x717L, caseId)
+      writeWords(w, ht, 3 + Rng.bounded(ht, 4L).toInt, upper = true)
+      w.putRaw(VsB)
+      writeWords(w, Rng.mix64(ht ^ 0x5AL), 2 + Rng.bounded(ht, 3L).toInt, upper = true)
+      w.patchInt(at, w.pos - p0)
+      // dateOf(cfg, caseId)
+      at = w.reserveInt(); p0 = w.pos
+      val hd = Rng.mix(cfg.seed, 0xDA7EL, caseId)
+      w.putDigits(2010 + Rng.bounded(hd, 13L))
+      w.putByte('-'.toByte); w.put2Digits((1 + Rng.bounded(Rng.mix64(hd), 12L)).toInt)
+      w.putByte('-'.toByte); w.put2Digits((1 + Rng.bounded(Rng.mix64(hd ^ 1), 28L)).toInt)
+      w.patchInt(at, w.pos - p0)
+      w.putInt(rank)
+      rank += 1
+    }
+    if (hasNext) {
+      // url = listingUrl(c, q, page + 1)
+      val at = w.reserveInt(); val p0 = w.pos
+      w.putRaw(HttpsB); w.putRaw(hostB); w.putRaw(SearchQueryB)
+      w.putRaw(QueriesPoolPlusB(qi)); w.putRaw(AmpQidB); w.putDigits(q.toLong)
+      w.putRaw(AmpPageB); w.putDigits((page + 1).toLong)
+      w.patchInt(at, w.pos - p0)
+      w.putStrBytes(courtB)
+      w.putStrBytes(QueriesPoolB(qi))
+      w.putInt(page + 1); w.putInt(0)
+      val pr = priorityOf(c, q, page + 1, 0, 0)
+      w.putInt((pr >>> 32).toInt); w.putInt(pr.toInt)
+      w.putNullStr(); w.putNullStr(); w.putNullStr()
+      w.putInt(-1)
+    }
+    w.putByte(0) // no doc
+  }
+
+  /** Streams the docpage branch's single pdf-link discovery. */
+  private[sources] def writeDocpagePayload(
+      w: Wire.PayloadWriter, cfg: SynthConfig, c: Int, caseId: Long): Unit = {
+    val fid = fileIdOf(cfg, c, caseId)
+    w.putByte(Wire.Version)
+    w.putInt(1)
+    // url = pdfUrl(cfg, c, fid)
+    val at = w.reserveInt(); val p0 = w.pos
+    w.putRaw(HttpsB)
+    val h = Rng.mix(cfg.seed, 0xF11EL, c.toLong, fid)
+    if (Rng.bounded(h, 8) == 0L) {
+      w.putRaw(MirrorB); w.putDigits(Rng.bounded(Rng.mix64(h), cfg.mirrorHosts.toLong))
+      w.putRaw(ExampleOrgB)
+    } else w.putRaw(courtHost(c).getBytes(UTF_8))
+    w.putRaw(PdfPathB); w.putDigits(fid); w.putRaw(DotPdfB)
+    w.patchInt(at, w.pos - p0)
+    w.putStr(courtName(c))
+    w.putNullStr()        // query
+    w.putInt(-1); w.putInt(2)
+    w.putInt(-1); w.putInt(-1) // priority = -1L (inherit)
+    w.putNullStr(); w.putNullStr(); w.putNullStr()
+    w.putInt(-1)
+    w.putByte(0) // no doc
+  }
+
   /** [[FetchOut]] already Wire-encoded — what the fetch hot loop consumes. */
   final case class FetchEnc(status: String, kind: String, docId: String,
       payload: Array[Byte], bytes: Long, latencyMicros: Long)
@@ -484,6 +595,16 @@ object Synth {
         val docId = docIdOf(c, fid)
         val bytes = writePdfPayload(w, cfg, contentId, docId)
         FetchEnc("ok", "pdf", docId, w.result(), bytes, lat)
+      case ListingUrl(c, q, page) if c >= 0 && c < cfg.courts && page >= 1 && page <= cfg.pagesPerQuery =>
+        val w = payloadScratch.get()
+        w.reset()
+        writeListingPayload(w, cfg, c, q, page)
+        FetchEnc("ok", "listing", null, w.result(), 4096L + cfg.rowsPerPage * 512L, lat)
+      case DocPageUrl(c, caseId) =>
+        val w = payloadScratch.get()
+        w.reset()
+        writeDocpagePayload(w, cfg, c, caseId)
+        FetchEnc("ok", "docpage", null, w.result(), 2048L, lat)
       case _ =>
         val out = fetch(cfg, url, attempt)
         FetchEnc(out.status, out.kind, out.doc.map(_.doc_id).orNull,

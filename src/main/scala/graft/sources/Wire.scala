@@ -89,6 +89,23 @@ object Wire {
       p += n
     }
 
+    /** ASCII digits of `v` interpreted as UNSIGNED (byte twin of
+      * `java.lang.Long.toUnsignedString`), no length prefix. */
+    def putDigitsUnsigned(v: Long): Unit =
+      if (v >= 0L) putDigits(v)
+      else {
+        // peel the last digit via unsigned div/rem; the quotient fits signed
+        val q = java.lang.Long.divideUnsigned(v, 10L)
+        putDigits(q)
+        putByte(('0' + java.lang.Long.remainderUnsigned(v, 10L).toInt).toByte)
+      }
+
+    /** Two ASCII digits, zero-padded (`%02d` for 0 ≤ v < 100). */
+    def put2Digits(v: Int): Unit = {
+      putByte(('0' + v / 10).toByte)
+      putByte(('0' + v % 10).toByte)
+    }
+
     /** Length-prefixed string from pre-encoded bytes (null → -1). */
     def putStrBytes(src: Array[Byte]): Unit =
       if (src == null) putInt(-1)

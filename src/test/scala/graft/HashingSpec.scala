@@ -127,8 +127,14 @@ class HashingSpec extends AnyFunSuite {
     for (cfg <- Seq(SynthConfig(), SynthConfig(failRate = 0.3, seed = 7L))) {
       val urls =
         (0L until 40L).map(fid => Synth.pdfUrl(cfg, (fid % cfg.courts).toInt, fid * 64 + (fid % cfg.courts))) ++
-        (0 until cfg.courts).flatMap(c => (0 until 2).map(q => Synth.listingUrl(c, q, 1))) ++
-        (0 until cfg.courts).map(c => Synth.docPageHref(cfg, c, Synth.caseIdOf(cfg, c, 0, 1, 0), 5L)) ++
+        // every page: exercises the no-next-page tail and ~64-bit junk IDs
+        // (negative longs → the unsigned-digits writer) in the byte-direct
+        // listing encoder
+        (0 until cfg.courts).flatMap(c => (0 until 2).flatMap(q =>
+          (1 to cfg.pagesPerQuery).map(page => Synth.listingUrl(c, q, page)))) ++
+        // enough docpages to hit the 1/8 mirror-host branch of the pdf-url writer
+        (0 until cfg.courts).flatMap(c => (0 until 12).map(rank =>
+          Synth.docPageHref(cfg, c, Synth.caseIdOf(cfg, c, 1, 2, rank), 5L))) ++
         Seq("https://nowhere.example.org/unknown")
       for (url <- urls; attempt <- Seq(0, 1, 2)) {
         val out = Synth.fetch(cfg, url, attempt)

@@ -456,6 +456,7 @@ object Wire {
     // a multi-byte UTF-8 sequence is ≥ 0x80 (see Segregate.sentKeepBytes).
     var cbuf = paraScratch.get()
     var clen = 0
+    val refSb = new java.lang.StringBuilder(16)
     @inline def ensureContent(n: Int): Unit =
       if (clen + n > cbuf.length) {
         var c = cbuf.length
@@ -508,16 +509,11 @@ object Wire {
         val isStarter = starterAt(payload, textStart, textEnd)
         if (isStarter) {
           if (open && hasContent) emit()
-          // starter spans are the one place the span text materializes: the
-          // reference-numeral extraction is a String regex
-          val s = new String(payload, textStart, textLen, UTF_8)
-          val m = graft.operators.Segregate.referenceMatcher(s)
           clen = 0
-          var st = textStart
-          if (m.find()) {
-            reference = graft.operators.Segregate.stripSpaces(m.group(1))
-            st = byteOffsetOfChar(payload, textStart, textEnd, m.end())
-          } else reference = null
+          refSb.setLength(0)
+          val matchEnd = referenceScan(payload, textStart, textEnd, refSb)
+          var st = matchEnd
+          reference = if (matchEnd > textStart) refSb.toString else null
           // byte twin of substring(m.end()).trim / s.trim
           var en = textEnd
           while (st < en && (payload(st) & 0xFF) <= ' ') st += 1
@@ -541,23 +537,6 @@ object Wire {
 
   private val paraScratch: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](1 << 13))
-
-  /** Byte offset of the `chars`-th UTF-16 char inside the UTF-8 slice
-    * `[start, end)` (4-byte sequences count as two chars — a surrogate
-    * pair). Callers only pass regex match ends, which land on ASCII, so the
-    * result never splits a sequence. */
-  private def byteOffsetOfChar(b: Array[Byte], start: Int, end: Int, chars: Int): Int = {
-    var p = start
-    var c = 0
-    while (p < end && c < chars) {
-      val b0 = b(p) & 0xFF
-      if (b0 < 0x80) { p += 1; c += 1 }
-      else if (b0 < 0xE0) { p += 2; c += 1 }
-      else if (b0 < 0xF0) { p += 3; c += 1 }
-      else { p += 4; c += 2 }
-    }
-    p
-  }
 
   /** [[docHashesStreaming]] rendered straight to a Catalyst struct row for
     * the hash-at-fetch expression ([[graft.functions.WireFunctions]]): fields
@@ -720,27 +699,28 @@ object Wire {
         (b(p + 3) & 0x3F)).toLong) << 3) | 4L)
   }
 
+  // ASCII fast paths: below 0x80 the only \p{Z} code point is ' ' and the
+  // only \p{N} are '0'-'9' — these run on every text span of every fetched
+  // doc and Character.getType was a top-5 CPU site (JFR, round 4).
+  @inline private def isZcp(cp: Int): Boolean =
+    if (cp < 0x80) cp == ' '
+    else {
+      val t = Character.getType(cp)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+        t == Character.PARAGRAPH_SEPARATOR
+    }
+  @inline private def isNcp(cp: Int): Boolean =
+    if (cp < 0x80) cp >= '0' && cp <= '9'
+    else {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
   /** [[graft.operators.Segregate.starterFind]] on a UTF-8 slice:
     * `^\p{Z}*\p{N}+\p{Z}*\.` over code points (no backtracking needed —
     * the classes are pairwise disjoint). */
   private def starterAt(b: Array[Byte], start: Int, end: Int): Boolean = {
-    // ASCII fast paths: below 0x80 the only \p{Z} code point is ' ' and the
-    // only \p{N} are '0'-'9' — this scan runs on every text span of every
-    // fetched doc and Character.getType was a top-5 CPU site (JFR, round 4).
-    @inline def isZcp(cp: Int) =
-      if (cp < 0x80) cp == ' '
-      else {
-        val t = Character.getType(cp)
-        t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
-          t == Character.PARAGRAPH_SEPARATOR
-      }
-    @inline def isNcp(cp: Int) =
-      if (cp < 0x80) cp >= '0' && cp <= '9'
-      else {
-        val t = Character.getType(cp)
-        t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
-          t == Character.OTHER_NUMBER
-      }
     var p = start
     var step = codePointAt(b, p, end)
     while (step >= 0 && isZcp((step >>> 3).toInt)) {
@@ -755,6 +735,50 @@ object Wire {
       p += (step & 7L).toInt; step = codePointAt(b, p, end)
     }
     step >= 0 && (step >>> 3) == '.'.toLong
+  }
+
+  /** Byte twin of [[graft.operators.Segregate.ReferenceRegex]]
+    * `^((?:\p{N}+\p{Z}*\.)+)` + `stripSpaces` on the match: appends the
+    * Z-stripped reference chars (numerals and dots) to `sb` and returns the
+    * byte offset just past the LAST complete repetition — `start` when
+    * nothing matched. The classes (\p{N}, \p{Z}, '.') are pairwise
+    * disjoint, so the greedy regex needs no backtracking and this scan IS
+    * the regex; the regex path allocated the span String + two Matchers +
+    * the stripped String per starter paragraph (~2.5 GB/mega-wave, JFR
+    * round 4). Pinned ≡ the regex in SegregateSpec. */
+  private def referenceScan(b: Array[Byte], start: Int, end: Int,
+      sb: java.lang.StringBuilder): Int = {
+    var p = start
+    var lastEnd = start
+    var committed = 0
+    var again = true
+    while (again) {
+      var q = p
+      var sawN = false
+      var step = codePointAt(b, q, end)
+      while (step >= 0 && isNcp((step >>> 3).toInt)) {
+        sawN = true
+        sb.appendCodePoint((step >>> 3).toInt)
+        q += (step & 7L).toInt
+        step = codePointAt(b, q, end)
+      }
+      if (!sawN) again = false
+      else {
+        while (step >= 0 && isZcp((step >>> 3).toInt)) {
+          q += (step & 7L).toInt
+          step = codePointAt(b, q, end)
+        }
+        if (step >= 0 && (step >>> 3) == '.'.toLong) {
+          sb.append('.')
+          q += 1
+          lastEnd = q
+          committed = sb.length
+          p = q
+        } else again = false
+      }
+    }
+    sb.setLength(committed) // roll back digits of an incomplete repetition
+    lastEnd
   }
 
   private val KindText = "text"

@@ -93,7 +93,15 @@ class HashingSpec extends AnyFunSuite {
       Doc("w3", Seq(Span("text", null, null, 0), Span("table", "t", null, 1))),
       Doc("w4", Seq.empty),
       Doc("w5", Seq(Span("text", "1 . 2. chained ref. Sent. Sent. Sent.", null, 0),
-        Span("image", null, "m", 1), Span("text", "9. end", null, 2))))
+        Span("image", null, "m", 1), Span("text", "9. end", null, 2))),
+      // reference-scan adversaries: multi-repetition chain, incomplete
+      // trailing repetition (digits with no dot — must roll back), NBSP as
+      // \p{Z} inside the chain, supplementary-plane \p{N} (U+10107) in the
+      // reference itself
+      Doc("w6", Seq(Span("text", "1.2. 3. triple chain. A one. B two. C three.", null, 0))),
+      Doc("w7", Seq(Span("text", "12. 34 not a second rep. One. Two. Three.", null, 0))),
+      Doc("w8", Seq(Span("text", "5 . nbsp ref. One. Two. Three.", null, 0))),
+      Doc("w9", Seq(Span("text", "𐄇. aegean ref. One. Two. Three.", null, 0))))
     (synthDocs ++ weird).foreach { d =>
       val payload = graft.sources.Wire.encode(Nil, Some(d))
       val streamed = graft.sources.Wire.paragraphsFilteredStreaming(payload, "plain")

@@ -160,16 +160,14 @@ object Crawler {
     * tuning applies on a real cluster for span tables. Applied per round so
     * direct `runRound` callers (bench, tests) get it too. */
   private def tuneScanGranularity(spark: SparkSession): Unit = {
-    // 16 MB bins balance two task-count failure modes on the payload-sized
+    // 8 MB bins balance two task-count failure modes on the payload-sized
     // fetch_log scans: bins much larger than (bytes / ~4×cores) quantize a
     // wave into ~1.x task rounds with a mostly-idle second round, while very
     // small bins multiply the fixed per-task tax — task launch, codegen
-    // lookup, and one Hadoop-conf gunzip whose ~2000 control-flow
-    // EOFExceptions alone profiled at 11 GB of allocation per wave across
-    // ~2800 payload-scan tasks (JFR round 4). With the fetch_log now stored
-    // uncompressed (payloads are entropy-coded at origin), on-disk bytes
-    // roughly doubled, so 8 MB bins would have doubled the task count again.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+    // lookup, one Hadoop-conf deserialization per task (JFR round 4). The
+    // narrow tail scans additionally coalesce to 4×parallelism, so their
+    // task count no longer rides the bin size at all.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (512L * 1024).toString)
     // Hadoop vectored IO reads pages through a weak-ref'd buffer pool — under
     // crawl-wave GC pressure the weak refs die and every read re-allocates
@@ -308,15 +306,15 @@ object Crawler {
       // (per-file task-launch/footer/commit overhead steals worker cpu) with
       // ~40 GB less allocation per wave
       maxRecordsPerFile = sys.env.getOrElse("GRAFT_FETCHLOG_RECS_PER_FILE", "5000").toLong,
-      // uncompressed: this table is >95% payload column, and fetched-document
-      // bytes are already entropy-coded at origin (real PDFs/gzip responses;
-      // a store-layer codec would re-compress opaque blobs for ~nothing).
-      // Snappy here cost one extra full copy of every page through the
-      // compressor input (BytesInput.toByteArray was a top-3 allocation site,
-      // JFR round 4) plus the compression CPU, at BOTH widths of the scaling
-      // pair. The narrow history/state tables stay on the session default —
-      // their values (urls, hashes, counters) are where parquet encoding pays.
-      compression = "uncompressed",
+      // compression stays on the session default (snappy): an uncompressed
+      // log was tried (the payload column looks entropy-coded in the real-
+      // PDF model) and MEASURED 2.5-3× slower at 32 threads with unchanged
+      // 8-thread wall — the log rides the node-local scratch (tmpfs in the
+      // bench), so every saved on-disk byte is saved MEMORY traffic, and the
+      // 32-wide side of the scaling pair is exactly the bandwidth-saturated
+      // one. Snappy's page-copy + CPU cost is per-core-scalable; bus bytes
+      // are not.
+      compression = sys.env.get("GRAFT_FETCHLOG_CODEC").orNull,
       // no min/max statistics for the opaque payload blob: nobody range-
       // predicates on payload bytes, and parquet's stats tracking copies
       // every new extreme of a ~26 KB binary (Binary.copy inside

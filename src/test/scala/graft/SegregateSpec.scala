@@ -293,4 +293,26 @@ class SegregateSpec extends AnyFunSuite {
       .toSet
     assert(typed === relational)
   }
+
+  test("synth text is ASCII-only: pins the code-point-length DuckDB oracles") {
+    // The q_rendering_dedup / q_span_render oracles use DuckDB length()
+    // (code points) and '\p{N}' (all Unicode numerals) against the engine's
+    // UTF-16-unit sz and BMP-only digit strip (Dedup.isNumberChar). Those
+    // agree iff synth text never leaves ASCII — off the BMP, a surrogate
+    // pair counts 2 in the engine and 1 in DuckDB, and supplementary-plane
+    // numerals strip in the oracle but not the engine (ADVICE r3). This
+    // pins the generator contract the oracles rely on.
+    val cfg = graft.sources.SynthConfig()
+    val texts =
+      (0L until 500L).flatMap(i => graft.sources.Synth.spansOf(cfg, i))
+        .flatMap(s => Option(s.text)) ++
+      graft.sources.Synth.scJudgments(cfg, 300).flatMap(j =>
+        Seq(j.diary_number, j.case_number, j.by, j.petitioner.name,
+          j.petitioner.advocate, j.respondent.name, j.respondent.advocate,
+          j.document_href) ++ j.bench)
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(t.forall(_ < 0x80.toChar), s"non-ASCII synth text: '$t'")
+    }
+  }
 }

@@ -362,6 +362,36 @@ object Segregate {
     }.distinct.sorted.toArray
   }
 
+  /** Open-addressing twin of [[StopwordPacked]]: 256 slots (load ~0.34,
+    * 2 KB, L1-resident) probed with a splitmix-mixed key and linear steps —
+    * 1-2 dependent loads per membership test where the binary search paid
+    * ~7 (3.7% of wave CPU in the round-4 JFR). 0 is a safe empty sentinel:
+    * packed codes are 1-26 per letter, so no nonempty token packs to 0. */
+  private val StopwordHashBits = 8
+  private lazy val StopwordHashed: Array[Long] = {
+    val t = new Array[Long](1 << StopwordHashBits)
+    StopwordPacked.foreach { k =>
+      var i = stopwordSlot(k)
+      while (t(i) != 0L) i = (i + 1) & ((1 << StopwordHashBits) - 1)
+      t(i) = k
+    }
+    t
+  }
+  @inline private def stopwordSlot(k: Long): Int = {
+    // splitmix64 finalizer (public domain, Steele et al. 2014)
+    var z = k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) >>> (64 - StopwordHashBits)).toInt
+  }
+  @inline private def isStopwordPacked(k: Long): Boolean = {
+    val mask = (1 << StopwordHashBits) - 1
+    var i = stopwordSlot(k)
+    var v = StopwordHashed(i)
+    while (v != 0L && v != k) { i = (i + 1) & mask; v = StopwordHashed(i) }
+    v == k
+  }
+
   /** Early-exit scan equivalent of the content-word count
     * (`nonLetterPattern.split(content.toLowerCase).count(w => w.nonEmpty &&
     * !stopword)` >= minWords): tokens are maximal \p{L} runs; ASCII tokens
@@ -407,7 +437,7 @@ object Segregate {
             acc = (acc << 5) | (lc - 'a' + 1).toLong
             j += 1
           }
-          if (java.util.Arrays.binarySearch(StopwordPacked, acc) < 0) words += 1
+          if (!isStopwordPacked(acc)) words += 1
         }
         if (words >= minWords) return true
       } else i += 1
@@ -507,7 +537,7 @@ object Segregate {
         if (bail) return -1
         val len = i - tokStart
         // acc only consulted when len ≤ MaxStopwordLen (≤ 12): no overflow
-        if (len > MaxStopwordLen || java.util.Arrays.binarySearch(StopwordPacked, acc) < 0)
+        if (len > MaxStopwordLen || !isStopwordPacked(acc))
           words += 1
         if (words >= minWords) return 1
       } else i += 1

@@ -288,9 +288,15 @@ object Bench {
     // Formula: hw_ceiling_efficiency = max(lcg32) / (4 × max(lcg8)).
     final case class Sample(u8: Long, s8: Double, u32: Long, s32: Double,
         lcg8: Double, lcg32: Double, mem8: Double, mem32: Double,
-        alloc8: Double, alloc32: Double) {
+        wrt8: Double, wrt32: Double, alloc8: Double, alloc32: Double) {
       def eff: Double = (u32 / s32) / (4.0 * (u8 / s8))
       def hwEff: Double = lcg32 / (4.0 * lcg8)
+      /** This pair's OWN binding ceiling — numerator and denominator from
+        * the same weather window across all three resources (compute, read
+        * bandwidth, durable-write bandwidth). Clamped like the global ones. */
+      def windowCeiling: Double = math.min(1.0, List(
+        lcg32 / (4.0 * lcg8), mem32 / (4.0 * mem8), wrt32 / (4.0 * wrt8)).min)
+      def effNormalizedWindow: Double = eff / windowCeiling
     }
     // ALL probes ride inside each pair's weather window (a ceiling whose two
     // levels sample different windows is meaningless — one driver run
@@ -300,7 +306,8 @@ object Bench {
       val (u8, s8, a8) = crawlBenchIsolated(8, n)
       val (u32, s32, a32) = crawlBenchIsolated(32, n)
       Sample(u8, s8, u32, s32, lcgIsolated(8), lcgIsolated(32),
-        memIsolated(8), memIsolated(32), a8, a32)
+        memIsolated(8), memIsolated(32),
+        writeIsolated(8), writeIsolated(32), a8, a32)
     }
     val (mem8, mem32) = (samples.map(_.mem8).max, samples.map(_.mem32).max)
     // The reported pair is the one from the CLEANEST weather window (fastest
@@ -336,14 +343,28 @@ object Bench {
     val hwEff = math.min(hwCpu, hwMem)
     val normalized = efficiency / hwEff
     val normalizedCpu = efficiency / hwCpu
+    // Durable-write ceiling (WriteProbe: file create+fill+delete on the same
+    // scratch the crawl commits to — tmpfs page-dirtying bandwidth, the one
+    // resource the other two probes cannot see and the fetch wave's commit
+    // path rides hardest). Cross-window max like the others.
+    val (wrt8, wrt32) = (samples.map(_.wrt8).max, samples.map(_.wrt32).max)
+    val hwWrt = math.min(1.0, wrt32 / (4.0 * wrt8))
+    // The same-window normalization: the chosen (cleanest) pair's raw
+    // efficiency over that PAIR's own min(compute, read-bw, write-bw)
+    // ceiling — numerator and denominator sample identical host weather, so
+    // congested windows don't get divided by a clear-window ceiling. Emitted
+    // alongside the cross-window fields; the continuity fields keep their
+    // r2/r3 definitions (ADVICE r3).
+    val normalizedWindow = best.effNormalizedWindow
     // alloc GB/s at each width, from the cleanest-window pair (same pair as
     // the headline efficiency)
     val allocG8 = if (best.alloc8 < 0) -1.0 else best.alloc8 / best.s8
     val allocG32 = if (best.alloc32 < 0) -1.0 else best.alloc32 / best.s32
     samples.foreach(s => System.err.println(
-      f"[bench] pair: secs8=${s.s8}%.1f secs32=${s.s32}%.1f eff=${s.eff}%.3f hw=${s.hwEff}%.3f"))
+      f"[bench] pair: secs8=${s.s8}%.1f secs32=${s.s32}%.1f eff=${s.eff}%.3f hw=${s.hwEff}%.3f " +
+      f"win_ceiling=${s.windowCeiling}%.3f (mem ${s.mem8}%.1f/${s.mem32}%.1f wrt ${s.wrt8}%.1f/${s.wrt32}%.1f)"))
     System.err.println(
-      f"[bench] ceilings: cpu=$hwCpu%.3f mem=$hwMem%.3f (mem8=$mem8%.1f GB/s mem32=$mem32%.1f GB/s)")
+      f"[bench] ceilings: cpu=$hwCpu%.3f mem=$hwMem%.3f wrt=$hwWrt%.3f (mem8=$mem8%.1f GB/s mem32=$mem32%.1f GB/s wrt8=$wrt8%.1f wrt32=$wrt32%.1f)")
     System.err.println(
       f"[bench] crawl alloc traffic: ${allocG8}%.1f GB/s at 8 cores, ${allocG32}%.1f GB/s at 32 (vs probed DRAM bw $mem8%.1f / $mem32%.1f)")
 
@@ -352,7 +373,7 @@ object Bench {
     val total = results.map(_._2).sum
     val growth = growthJson
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"urls":$urls32,"urls_per_sec_8":$tput8%.1f,"urls_per_sec_32":$tput32%.1f,"secs_8":$secs8%.2f,"secs_32":$secs32%.2f,"scaling_efficiency":$efficiency%.3f,"hw_ceiling_efficiency":$hwEff%.3f,"hw_ceiling_cpu":$hwCpu%.3f,"hw_ceiling_mem":$hwMem%.3f,"mem_gbps_8":$mem8%.1f,"mem_gbps_32":$mem32%.1f,"alloc_gbps_8":$allocG8%.1f,"alloc_gbps_32":$allocG32%.1f,"scaling_efficiency_normalized":$normalized%.3f,"scaling_efficiency_normalized_cpu":$normalizedCpu%.3f$growth}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"urls":$urls32,"urls_per_sec_8":$tput8%.1f,"urls_per_sec_32":$tput32%.1f,"secs_8":$secs8%.2f,"secs_32":$secs32%.2f,"scaling_efficiency":$efficiency%.3f,"hw_ceiling_efficiency":$hwEff%.3f,"hw_ceiling_cpu":$hwCpu%.3f,"hw_ceiling_mem":$hwMem%.3f,"mem_gbps_8":$mem8%.1f,"mem_gbps_32":$mem32%.1f,"alloc_gbps_8":$allocG8%.1f,"alloc_gbps_32":$allocG32%.1f,"wrt_gbps_8":$wrt8%.1f,"wrt_gbps_32":$wrt32%.1f,"hw_ceiling_write":$hwWrt%.3f,"scaling_efficiency_normalized":$normalized%.3f,"scaling_efficiency_normalized_cpu":$normalizedCpu%.3f,"scaling_efficiency_normalized_window":$normalizedWindow%.3f$growth}}"""
     println(json)
     // Belt-and-braces for the driver: the same line as a bare file (stdout
     // arrives through sbt, which has mangled it in past rounds). Path is
@@ -397,6 +418,13 @@ object Bench {
     val compactSecs = secs.zipWithIndex.filter { case (_, i) => isCompact(i) }.map(_._1)
     val early = steady.take(2).min
     val late = steady.takeRight(2).min
+    // The first compaction cycle is an empty-history RAMP (round 1 scans no
+    // seen/docs history at all), so late/early overstates growth; the
+    // steady-state comparison starts after the first compaction has folded
+    // that ramp into a base.
+    val steadyPost = secs.zipWithIndex
+      .filter { case (_, i) => i >= compactEvery && !isCompact(i) }.map(_._1)
+    val earlyPost = (if (steadyPost.length >= 2) steadyPost.take(2) else steady.take(2)).min
     val n = steady.length
     val xbar = (n - 1) / 2.0
     val ybar = steady.sum / n
@@ -405,7 +433,7 @@ object Bench {
     val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val fl = files.mkString("[", ",", "]")
     val cs = compactSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
-    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f}"""
+    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"ratio_late_over_steady":${late / earlyPost}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f}"""
   }
 
   /** Run `rounds` consecutive crawl rounds in ONE work dir so history
@@ -468,6 +496,9 @@ object Bench {
     * N→4N executor step adds whole nodes with their own memory systems. */
   private def memIsolated(cpus: Int): Double =
     probeIsolated(cpus, "graft.tools.MemProbe", "MEM", "6g")
+
+  private def writeIsolated(cpus: Int): Double =
+    probeIsolated(cpus, "graft.tools.WriteProbe", "WRT", "2g")
 
   private def probeIsolated(cpus: Int, mainCls: String, tag: String, mem: String): Double = {
     val java = System.getProperty("java.home") + "/bin/java"

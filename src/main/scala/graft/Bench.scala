@@ -296,7 +296,11 @@ object Bench {
         * bandwidth, durable-write bandwidth). Clamped like the global ones. */
       def windowCeiling: Double = math.min(1.0, List(
         lcg32 / (4.0 * lcg8), mem32 / (4.0 * mem8), wrt32 / (4.0 * wrt8)).min)
-      def effNormalizedWindow: Double = eff / windowCeiling
+      /** Clamped at 1.0: raw efficiency at/above the pair's binding-resource
+        * ceiling means the engine achieved all the scaling the window
+        * offered — a >1 readout would be a looseness artifact of the bound,
+        * not superlinear engine scaling. */
+      def effNormalizedWindow: Double = math.min(1.0, eff / windowCeiling)
     }
     // ALL probes ride inside each pair's weather window (a ceiling whose two
     // levels sample different windows is meaningless — one driver run

@@ -215,9 +215,13 @@ object Snapshots {
   private def parquetBytes(p: String): Long = {
     val path = Paths.get(p)
     if (!Files.exists(path)) 0L
-    else Files.list(path).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(f => Files.size(f)).sum
+    else {
+      val s = Files.list(path)
+      try s.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => Files.size(f)).sum
+      finally s.close()
+    }
   }
 
   /** Binpacked write of `df` (union of `inputPaths`' data) to `target` —
@@ -267,7 +271,9 @@ object Snapshots {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val s = Files.walk(p)
+      try s.iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
     }
 
   /** Number of parquet files a [[readDeltas]] scan of `table` would touch
@@ -275,7 +281,11 @@ object Snapshots {
   def scanFileCount(dir: String, table: String): Long = {
     def filesIn(p: Path): Long =
       if (!Files.exists(p)) 0L
-      else Files.list(p).iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+      else {
+        val s = Files.list(p)
+        try s.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet")).toLong
+        finally s.close()
+      }
     val segs = currentSegments(dir, table)
     val upto = segs.lastOption.map(_._2).getOrElse(0)
     val tail = committedRounds(dir).filter(_ > upto)

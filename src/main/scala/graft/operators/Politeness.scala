@@ -15,24 +15,50 @@ final case class Slotted(entry: FrontierEntry, salt: Int, budget: Int, drop: Str
 final case class Sched(entry: FrontierEntry, salt: Int, fetchSeq: Int, scheduled: Boolean)
 
 /** Per-round scheduling counters, filled DURING the scheduling
-  * `mapPartitions` via Spark accumulators — so the per-round report needs no
-  * dedicated count job over the sched frame (that job was 2-3 s of fixed
-  * wall per round, paid identically at every parallelism). Values are valid
-  * after the first action that materializes the sched frame (the fetch-log
-  * write); report-only (a cache eviction + recompute could in principle
-  * re-add, which the crawler's persisted sched never does in practice). */
-final case class SchedCounters(
-    scheduled: org.apache.spark.util.LongAccumulator,
-    deferred: org.apache.spark.util.LongAccumulator,
-    dup: org.apache.spark.util.LongAccumulator,
-    robots: org.apache.spark.util.LongAccumulator)
+  * `mapPartitions` — so the per-round report needs no dedicated count job
+  * over the sched frame (that job was 2-3 s of fixed wall per round, paid
+  * identically at every parallelism). Values are valid after the first
+  * action that materializes the sched frame (the fetch-log write).
+  *
+  * RE-EXECUTION SAFE: each partition reports its (scheduled, deferred, dup,
+  * robots) vector ONCE at iterator exhaustion, keyed by partition id, and
+  * the accumulator merges by OVERWRITE — a re-executed task (stage retry,
+  * speculative duplicate, cache-evicted recompute) replaces its own entry
+  * instead of double-adding. Per-partition counts are deterministic in the
+  * partition's input, so overwrite is exact where plain LongAccumulators in
+  * a transformation inflate (the counts feed RoundReport and the manifest
+  * lineage — round-4 review). */
+final class SchedCountsAcc extends org.apache.spark.util.AccumulatorV2[
+    (Int, Array[Long]), Map[Int, Array[Long]]] {
+  private val m = scala.collection.mutable.Map.empty[Int, Array[Long]]
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): SchedCountsAcc = {
+    val c = new SchedCountsAcc
+    m.foreach { case (k, v) => c.m(k) = v.clone() }
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (Int, Array[Long])): Unit = m(v._1) = v._2
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      (Int, Array[Long]), Map[Int, Array[Long]]]): Unit =
+    other.value.foreach { case (k, v) => m(k) = v }
+  override def value: Map[Int, Array[Long]] = m.toMap
+}
+
+final case class SchedCounters(acc: SchedCountsAcc) {
+  private def sum(i: Int): Long = acc.value.valuesIterator.map(_(i)).sum
+  def scheduled: Long = sum(0)
+  def deferred: Long = sum(1)
+  def dup: Long = sum(2)
+  def robots: Long = sum(3)
+}
 
 object SchedCounters {
-  def create(spark: SparkSession): SchedCounters = SchedCounters(
-    spark.sparkContext.longAccumulator("sched.scheduled"),
-    spark.sparkContext.longAccumulator("sched.deferred"),
-    spark.sparkContext.longAccumulator("sched.dup"),
-    spark.sparkContext.longAccumulator("sched.robots"))
+  def create(spark: SparkSession): SchedCounters = {
+    val acc = new SchedCountsAcc
+    spark.sparkContext.register(acc, "sched.counts")
+    SchedCounters(acc)
+  }
 }
 
 /** Result of one simulated fetch. The discoveries and (for PDFs) the doc do
@@ -204,26 +230,43 @@ object Politeness {
             else heap.dequeueAll.reverseIterator
         }
         val heaps = scala.collection.mutable.Map.empty[(String, Int), Bucket]
+        // local (scheduled, deferred, dup, robots) tallies — reported ONCE
+        // per partition at exhaustion (idempotent overwrite-merge, see
+        // SchedCountsAcc)
+        val tallies = new Array[Long](4)
         val deferredStream: Iterator[Sched] = it.flatMap { s =>
           if (s.drop != null) {
             // D1-dup / robots reject: counted, never admitted
-            counters.foreach(c => (if (s.drop == "dup") c.dup else c.robots).add(1L))
+            tallies(if (s.drop == "dup") 2 else 3) += 1
             Iterator.single(
               Sched(s.entry.copy(status = s.drop), s.salt, -1, scheduled = false))
           } else {
             val evicted = heaps.getOrElseUpdate((s.entry.host, s.salt), new Bucket).add(s)
             if (evicted != null) {
-              counters.foreach(_.deferred.add(1L))
+              tallies(1) += 1
               Iterator.single(
                 Sched(evicted.entry.copy(status = "deferred"), evicted.salt, -1, scheduled = false))
             } else Iterator.empty
           }
         }
-        deferredStream ++ heaps.valuesIterator.flatMap { bucket =>
+        val out = deferredStream ++ heaps.valuesIterator.flatMap { bucket =>
           bucket.drain.zipWithIndex.map { case (s: Slotted, i: Int) =>
-            counters.foreach(_.scheduled.add(1L))
+            tallies(0) += 1
             Sched(s.entry, s.salt, i, scheduled = true)
           }
+        }
+        new Iterator[Sched] {
+          private var flushed = false
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !flushed) {
+              flushed = true
+              counters.foreach(_.acc.add(
+                (org.apache.spark.TaskContext.getPartitionId(), tallies.clone())))
+            }
+            h
+          }
+          def next(): Sched = out.next()
         }
       }
   }

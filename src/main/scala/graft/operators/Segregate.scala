@@ -27,13 +27,6 @@ object Segregate {
   // precompiled: String.replaceAll would recompile this on EVERY paragraph
   private val spacesPattern = java.util.regex.Pattern.compile("(?U)\\p{Z}+")
 
-  /** Shared with the streaming paragraph kernel (Wire) so both paths run the
-    * EXACT same precompiled patterns. */
-  private[graft] def referenceMatcher(s: String): java.util.regex.Matcher =
-    referencePattern.pattern.matcher(s)
-  private[graft] def stripSpaces(s: String): String =
-    spacesPattern.matcher(s).replaceAll("")
-
   /** Starter test for typed kernels (Dedup.docHashes, segregateDoc): exact
     * scan equivalent of [[StarterRegex]] `^(?U)\p{Z}*\p{N}+\p{Z}*\.` on code
     * points. A scan instead of `Pattern.matcher`: the regex allocated one

@@ -331,10 +331,10 @@ object Crawler {
           (sys.env.getOrElse("GRAFT_FETCHLOG_BLOCK_MB", "32").toLong * 1024 * 1024).toString)))
     tick("fetch+write-events")
     // valid now: the write above materialized the sched cache
-    val scheduledCount = schedCtr.scheduled.value
-    val deferredCount = schedCtr.deferred.value
-    val dupUrlCount = schedCtr.dup.value
-    val robotsDeniedCount = schedCtr.robots.value
+    val scheduledCount = schedCtr.scheduled
+    val deferredCount = schedCtr.deferred
+    val dupUrlCount = schedCtr.dup
+    val robotsDeniedCount = schedCtr.robots
 
     // zero-deferral short-circuit (same rationale as retriesFor: the count
     // is already known from the scheduling accumulators — an unthrottled

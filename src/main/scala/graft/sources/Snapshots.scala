@@ -56,8 +56,10 @@ object Snapshots {
     val p = Paths.get(tableDir)
     if (!Files.exists(p)) return 0L
     val conf = new org.apache.hadoop.conf.Configuration()
-    val files = Files.list(p).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toArray
+    val s = Files.list(p)
+    val files =
+      try s.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet")).toArray
+      finally s.close()
     java.util.Arrays.stream(files).parallel().mapToLong { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)

@@ -596,10 +596,18 @@ object Synth {
         val bytes = writePdfPayload(w, cfg, contentId, docId)
         FetchEnc("ok", "pdf", docId, w.result(), bytes, lat)
       case ListingUrl(c, q, page) if c >= 0 && c < cfg.courts && page >= 1 && page <= cfg.pagesPerQuery =>
-        val w = payloadScratch.get()
-        w.reset()
-        writeListingPayload(w, cfg, c, q, page)
-        FetchEnc("ok", "listing", null, w.result(), 4096L + cfg.rowsPerPage * 512L, lat)
+        // zero discoveries (rowsPerPage == 0 on the last page): the object
+        // path's Wire.encode(Nil, None) returns null so the parquet column
+        // stores a NULL — mirror that instead of a 6-byte empty block, or
+        // the pinned byte-equality and NULL-column invariant both break
+        if (cfg.rowsPerPage + (if (page < cfg.pagesPerQuery) 1 else 0) == 0)
+          FetchEnc("ok", "listing", null, null, 4096L, lat)
+        else {
+          val w = payloadScratch.get()
+          w.reset()
+          writeListingPayload(w, cfg, c, q, page)
+          FetchEnc("ok", "listing", null, w.result(), 4096L + cfg.rowsPerPage * 512L, lat)
+        }
       case DocPageUrl(c, caseId) =>
         val w = payloadScratch.get()
         w.reset()

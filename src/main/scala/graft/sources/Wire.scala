@@ -387,8 +387,11 @@ object Wire {
     if (payload == null) return Nil
     val p0 = docBlockStart(payload)
     if (p0 < 0) return Nil
+    // length -1 encodes a null doc_id (putStr null contract) — mirror the
+    // object path (decodeDoc yields Doc(null, spans)) instead of crashing
     val docIdLen = readIntAt(payload, p0)
-    val docId = new String(payload, p0 + 4, docIdLen, UTF_8)
+    val docId =
+      if (docIdLen < 0) null else new String(payload, p0 + 4, docIdLen, UTF_8)
     val out = Vector.newBuilder[graft.model.Paragraph]
     val rc = paragraphsFoldStreaming(payload, minSents, minWords, new ParaSink {
       def emit(page: Int, seq: Int, buf: Array[Byte], start: Int, len: Int,
@@ -418,7 +421,15 @@ object Wire {
       def emit(page: Int, seq: Int, buf: Array[Byte], start: Int, len: Int,
           reference: String): Unit =
         out += new GenericInternalRow(Array[Any](page, seq,
-          UTF8String.fromBytes(buf, start, len),
+          // MUST copy: the ParaSink contract says the slice is only valid
+          // inside this call (buf is the reusable fold scratch), and
+          // UTF8String.fromBytes(buf, ..) WRAPS the array — an aliased view
+          // would be overwritten by the next paragraph before Catalyst
+          // copies the returned array into the output row (caught live in
+          // round 4: every row read back as the last paragraph's bytes).
+          // One exact-size copy per filter SURVIVOR, same as the String the
+          // object path materializes.
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, start, start + len)),
           if (reference == null) null else UTF8String.fromString(reference)))
     })
     if (rc == FoldUnsorted) {
@@ -445,7 +456,7 @@ object Wire {
       sink: ParaSink): Int = {
     var p = docBlockStart(payload)
     val docIdLen = readIntAt(payload, p)
-    p += 4 + docIdLen
+    p += 4 + math.max(0, docIdLen) // -1 = null doc_id: no bytes follow
     val nSpans = readIntAt(payload, p); p += 4
     // Paragraph content accumulates as UTF-8 BYTES in a per-thread scratch;
     // a String materializes only for filter SURVIVORS (and for starter spans,
@@ -738,7 +749,7 @@ object Wire {
   }
 
   /** Byte twin of [[graft.operators.Segregate.ReferenceRegex]]
-    * `^((?:\p{N}+\p{Z}*\.)+)` + `stripSpaces` on the match: appends the
+    * `^((?:\p{N}+\p{Z}*\.)+)` + the \p{Z}+ strip on the match: appends the
     * Z-stripped reference chars (numerals and dots) to `sb` and returns the
     * byte offset just past the LAST complete repetition — `start` when
     * nothing matched. The classes (\p{N}, \p{Z}, '.') are pairwise
@@ -823,8 +834,11 @@ object Wire {
     if (payload(p) == 0) return null
     p += 1
     val docIdLen = readIntAt(payload, p)
-    val docId = new String(payload, p + 4, docIdLen, UTF_8)
-    p += 4 + docIdLen
+    // -1 = null doc_id (putStr null contract): same Doc(null, spans) shape
+    // as the object path, not a crash
+    val docId =
+      if (docIdLen < 0) null else new String(payload, p + 4, docIdLen, UTF_8)
+    p += 4 + math.max(0, docIdLen)
 
     val nSpans = readIntAt(payload, p); p += 4
     var sz = 0L

@@ -29,7 +29,13 @@ object MegaProbe {
       val (secs, files) = graft.Bench.growthBench(cpus, rounds, nPer)
       secs.zip(files).zipWithIndex.foreach { case ((s, f), i) =>
         println(f"GROWTH round ${i + 1}: $s%.1f s files=$f") }
-      println(f"GROWTH ratio_last_over_first=${secs.last / secs.head}%.3f")
+      // compaction-trigger rounds carry the amortized segment fold — exclude
+      // them from the endpoint ratio (same rule as Bench.growthJson)
+      val ce = graft.model.CrawlConfig().compactEvery
+      val steady = secs.zipWithIndex
+        .filterNot { case (_, i) => ce > 0 && (i + 1) % ce == 0 }.map(_._1)
+      val (a, b) = (steady.headOption.getOrElse(secs.head), steady.lastOption.getOrElse(secs.last))
+      println(f"GROWTH ratio_last_over_first=${b / a}%.3f (steady rounds only)")
     } else {
       val (urls, secs, alloc) = graft.Bench.crawlBenchProbe(cpus, n)
       val allocGb = if (alloc < 0) -1.0 else alloc / 1e9

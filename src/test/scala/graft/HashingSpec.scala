@@ -111,6 +111,29 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("Wire.paragraphsArrayData CONTENT equals the object path (no scratch aliasing)") {
+    // Regression (round 4): the Catalyst sink wrapped the reusable fold
+    // scratch zero-copy (UTF8String.fromBytes aliases the array), so every
+    // row read back as the LAST paragraph's bytes once the fold moved on —
+    // counts matched, content was garbage. This pins the actual strings of
+    // the wireParagraphs column against paragraphsFilteredStreaming.
+    val cfg = SynthConfig()
+    (0L until 25L).foreach { i =>
+      val d = Doc(s"d$i", Synth.spansOf(cfg, i))
+      val payload = graft.sources.Wire.encode(Nil, Some(d))
+      val obj = graft.sources.Wire.paragraphsFilteredStreaming(payload, "plain")
+      val arr = graft.sources.Wire.paragraphsArrayData(payload, "plain", 3, 30)
+      assert(arr != null, s"null array for d$i")
+      val viaExpr = (0 until arr.numElements()).map { k =>
+        val r = arr.getStruct(k, 4)
+        (r.getInt(0), r.getInt(1), r.getUTF8String(2).toString,
+          if (r.isNullAt(3)) null else r.getUTF8String(3).toString)
+      }
+      val viaObj = obj.map(p => (p.page, p.paragraph_number, p.content, p.reference))
+      assert(viaExpr === viaObj, s"wireParagraphs content mismatch for d$i")
+    }
+  }
+
   test("Wire round-trip: encode → decodeDiscovered/decodeDoc is identity") {
     val ds = Seq(
       Synth.Discovered("https://a.example.org/x?y=1", "c", "q", 2, 1, 99L, "CN/1", "Tü", "2022-01-01", 3),

@@ -237,12 +237,46 @@ object Snapshots {
     df.coalesce(nFiles).write.mode("overwrite").parquet(target.toString)
   }
 
+  /** Orphan GC (the Iceberg `remove_orphan_files` analog): a crash between
+    * the CURRENT-marker flip and the post-flip deletes leaves folded delta
+    * dirs / replaced segment dirs / marker temp files on disk. They are
+    * invisible to readers (readDeltas trusts CURRENT + `round > upto`), so
+    * correctness never depended on this — but without GC the leak is
+    * permanent. Called at [[compact]] entry, where no concurrent writer can
+    * race it (compaction is driven single-threaded per table by the crawl
+    * loop). */
+  private def gcOrphans(dir: String, table: String): Unit = {
+    val segs = currentSegments(dir, table)
+    val segUpto = segs.lastOption.map(_._2).getOrElse(0)
+    // folded-but-undeleted delta rounds (≤ the segment high-water mark)
+    committedRounds(dir)
+      .filter(r => r <= segUpto && Files.exists(Paths.get(tablePath(dir, r, table))))
+      .foreach(r => deleteRecursively(Paths.get(tablePath(dir, r, table))))
+    // replaced segment dirs + stale marker temps under _base not in CURRENT
+    val root = baseRoot(dir, table)
+    if (Files.exists(root)) {
+      val listed = segs.map(s => Paths.get(s._3).getFileName.toString).toSet
+      val s = Files.list(root)
+      val children =
+        try s.iterator.asScala.toArray
+        finally s.close()
+      children.foreach { c =>
+        val n = c.getFileName.toString
+        val stale =
+          (n.startsWith("seg=") && !listed.contains(n)) ||
+            (n.startsWith("current") && n.endsWith(".tmp"))
+        if (stale) deleteRecursively(c)
+      }
+    }
+  }
+
   /** Fold committed deltas with `compactedUpTo < round <= upToRound` into a
     * new segment; collapse all segments into one when MaxSegments is
     * reached. The `round` column is preserved as a physical column
     * (partition inference recovers it for tail deltas; segments carry it
     * directly). No-op when there is nothing new to fold in. */
   def compact(spark: SparkSession, dir: String, table: String, upToRound: Int): Unit = {
+    gcOrphans(dir, table)
     val segs = currentSegments(dir, table)
     val segUpto = segs.lastOption.map(_._2).getOrElse(0)
     val deltaRounds = committedRounds(dir)

@@ -89,6 +89,37 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(all === (1 to rounds).map(r => (r, r)))
   }
 
+  test("compact after a crash mid-compaction: reads unchanged, orphans GC'd") {
+    val dir = Files.createTempDirectory("snap6").toString
+    (1 to 6).foreach { r =>
+      Snapshots.commit(dir, r, Map("d" -> Seq(r).toDF("x")), Map.empty)
+    }
+    Snapshots.compact(spark, dir, "d", 4)
+    val before = Snapshots.readDeltas(spark, dir, "d").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq
+
+    val base = Paths.get(dir, "tables", "d", "_base")
+    // crash shape 1: a partially-written segment dir never flipped into
+    // CURRENT (binpackWrite died) + a stale marker temp file
+    Seq(999).toDF("x").write.parquet(base.resolve("seg=5-6").toString)
+    Files.writeString(base.resolve("current12345.tmp"), "junk")
+    // crash shape 2: a folded delta dir whose post-flip delete never ran
+    Seq(888).toDF("x").write.parquet(Snapshots.tablePath(dir, 3, "d"))
+
+    // readers never see any of it (CURRENT + round>upto rule)
+    assert(Snapshots.readDeltas(spark, dir, "d").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq === before)
+
+    // the next compaction GCs all three orphans, then folds the real tail
+    Snapshots.compact(spark, dir, "d", 6)
+    assert(!Files.exists(Paths.get(Snapshots.tablePath(dir, 3, "d"))), "stale delta GC'd")
+    assert(!Files.exists(base.resolve("current12345.tmp")), "marker temp GC'd")
+    assert(Snapshots.currentSegments(dir, "d").map(s => (s._1, s._2)) === Seq((1, 4), (5, 6)))
+    assert(Snapshots.readDeltas(spark, dir, "d").get
+      .select("x", "round").as[(Int, Int)].collect().sorted.toSeq === before,
+      "post-GC union identical: the orphan rows (999/888) must never surface")
+  }
+
   test("manifest records table counts and lineage fields as json") {
     val dir = Files.createTempDirectory("snap3").toString
     Snapshots.commit(dir, 7, Map("t" -> Seq(1, 2).toDF("x")),

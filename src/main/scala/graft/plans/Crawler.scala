@@ -169,6 +169,18 @@ object Crawler {
     // task count no longer rides the bin size at all.
     spark.conf.set("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+    // Crawl-state table codec (fetch_log, docs, paras, seen/metrics deltas).
+    // snappy, MEASURED (round 4, interleaved A/B pairs): zstd-3 compresses
+    // the vocab-modeled text ~19× smaller but ran 19-30% slower at local[32]
+    // in three consecutive adjacent pairs (codec CPU + the collapse of
+    // byte-sized split planning under high compression outweigh the saved
+    // bus bytes); lz4_raw (~9× smaller than snappy) was statistically
+    // indistinguishable across five 32-core and five 8-core alternations
+    // (effect, if any, below the host's ±40% weather). The knob stays for
+    // re-testing on quieter hardware, where lz4's fewer durable bytes
+    // should pay on the write-bandwidth-ceiling story.
+    spark.conf.set("spark.sql.parquet.compression.codec",
+      sys.env.getOrElse("GRAFT_CRAWL_CODEC", "snappy"))
     // Hadoop vectored IO reads pages through a weak-ref'd buffer pool — under
     // crawl-wave GC pressure the weak refs die and every read re-allocates
     // (16.8 GB per wave, JFR round 4). Its range-coalescing win targets
@@ -306,14 +318,13 @@ object Crawler {
       // (per-file task-launch/footer/commit overhead steals worker cpu) with
       // ~40 GB less allocation per wave
       maxRecordsPerFile = sys.env.getOrElse("GRAFT_FETCHLOG_RECS_PER_FILE", "5000").toLong,
-      // compression stays on the session default (snappy): an uncompressed
-      // log was tried (the payload column looks entropy-coded in the real-
-      // PDF model) and MEASURED 2.5-3× slower at 32 threads with unchanged
-      // 8-thread wall — the log rides the node-local scratch (tmpfs in the
-      // bench), so every saved on-disk byte is saved MEMORY traffic, and the
-      // 32-wide side of the scaling pair is exactly the bandwidth-saturated
-      // one. Snappy's page-copy + CPU cost is per-core-scalable; bus bytes
-      // are not.
+      // compression rides the session default (snappy, GRAFT_CRAWL_CODEC —
+      // tuneScanGranularity has the round-4 zstd/lz4 A/B verdict): an
+      // uncompressed log was tried and MEASURED 2.5-3× slower at 32 threads
+      // with unchanged 8-thread wall — the log rides the node-local scratch
+      // (tmpfs in the bench), so every saved on-disk byte is saved MEMORY
+      // traffic, and the 32-wide side of the scaling pair is exactly the
+      // bandwidth-saturated one.
       compression = sys.env.get("GRAFT_FETCHLOG_CODEC").orNull,
       // no min/max statistics for the opaque payload blob: nobody range-
       // predicates on payload bytes, and parquet's stats tracking copies

@@ -2,9 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+
+import graft.sources.SynthConfig
 
 /** Native codegen expressions over the [[graft.sources.Wire]] fetch payload.
   *
@@ -39,6 +41,45 @@ object WireExpressions {
     StructField("paragraph_number", IntegerType, nullable = false),
     StructField("content", StringType, nullable = false),
     StructField("reference", StringType)))
+
+  /** Field order mirrors the tail of the `FetchEvent` row (after entry,
+    * salt, fetchSeq) so [[graft.operators.Politeness.fetchAll]]'s flattened
+    * output keeps the exact schema the typed encoder used to produce. */
+  val FetchSchema: StructType = StructType(Seq(
+    StructField("status", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("latencyMicros", LongType, nullable = false),
+    StructField("doc_id", StringType),
+    StructField("payload", BinaryType)))
+}
+
+/** `synthFetch(url, retry_count)` — the deterministic fetch as ONE codegen
+  * expression over the sched frame (fetch-as-expression, round 4): evaluates
+  * [[graft.sources.Synth.fetchRow]] exactly once per scheduled row and
+  * returns the (status, kind, bytes, latencyMicros, doc_id, payload) struct.
+  * Replaces the typed filter→mapPartitions chain whose row↔object round
+  * trips (entry decode, FetchEvent re-encode) were ~11% of 32-thread
+  * execution samples (JFR, round 4). Exactly-once evaluation is pinned in
+  * PolitenessSpec via the fetchRow invocation counter — a collapsed
+  * projection inlining this expression per extracted field would multiply
+  * generator work silently. */
+case class SynthFetchExpr(left: Expression, right: Expression,
+    cfg: SynthConfig, minIntervalMicros: Long) extends BinaryExpression {
+  override def dataType: DataType = WireExpressions.FetchSchema
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(url: Any, attempt: Any): Any =
+    graft.sources.Synth.fetchRow(cfg,
+      url.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      attempt.asInstanceOf[Int], minIntervalMicros)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cfgRef = ctx.addReferenceObj("synthCfg", cfg, "graft.sources.SynthConfig")
+    nullSafeCodeGen(ctx, ev, (u, a) =>
+      s"${ev.value} = graft.sources.Synth.fetchRow($cfgRef, $u, $a, ${minIntervalMicros}L);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `docHashesStruct(payload)` — the D2/D3 identity columns computed straight
@@ -112,4 +153,7 @@ object WireFunctions {
   def docHashesStruct(payload: Column): Column = c(WireDocHashesExpr(e(payload)))
   def wireSpans(payload: Column): Column = c(WireSpansExpr(e(payload)))
   def wireParagraphs(payload: Column): Column = c(WireParagraphsExpr(e(payload)))
+  def synthFetch(url: Column, retryCount: Column, cfg: SynthConfig,
+      minIntervalMicros: Long): Column =
+    c(SynthFetchExpr(e(url), e(retryCount), cfg, minIntervalMicros))
 }

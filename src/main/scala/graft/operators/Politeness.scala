@@ -282,25 +282,32 @@ object Politeness {
     * single-round wave can never exceed rate × wall for its host (C4; the
     * reference's 25 req/min budget, `AdobePDFExtractAPI.md:37`). Crawl
     * ORDER is unaffected: spacing only stretches latency_micros. */
+  /** The fetch wave as RELATIONAL ops (fetch-as-expression, round 4). The
+    * old chain — typed `.filter(_.scheduled)` → `mapPartitions` building
+    * `FetchEvent` objects — decoded the 13-field entry struct twice per row
+    * and re-encoded its eight strings once more; that row↔object churn was
+    * ~11% of 32-thread execution samples (JFR). Now the only per-row object
+    * work is the url String the generator parses: a Column filter, a
+    * within-partition sort, and ONE codegen expression
+    * ([[graft.functions.SynthFetchExpr]] — byte-direct `Synth.fetchEncoded`
+    * inside, bit-equal to fetch+encode per HashingSpec) producing the
+    * (status, kind, bytes, latencyMicros, doc_id, payload) struct, flattened
+    * to the exact schema the typed encoder used to emit. The flatten stays a
+    * SEPARATE projection: CollapseProject keeps multi-referenced non-cheap
+    * expressions un-inlined, and PolitenessSpec pins fetch-exactly-once per
+    * scheduled row via the `Synth.fetchRow` counter. */
   def fetchAll(scheduled: Dataset[Sched], synthCfg: SynthConfig,
-      minIntervalMicros: Long = 0L): Dataset[FetchEvent] = {
+      minIntervalMicros: Long = 0L): DataFrame = {
     val spark = scheduled.sparkSession
     import spark.implicits._
-    scheduled
-      .filter(_.scheduled)
+    scheduled.toDF()
+      .filter($"scheduled")
       .sortWithinPartitions($"entry.host", $"salt", $"fetchSeq")
-      .mapPartitions { it =>
-        it.map { s =>
-          // byte-direct: the pdf payload streams into a per-thread scratch
-          // instead of materializing Span/String objects (Synth.fetchEncoded,
-          // bit-equal to fetch+encode — HashingSpec)
-          val out = Synth.fetchEncoded(synthCfg, s.entry.url, s.entry.retry_count)
-          val lat =
-            if (minIntervalMicros > 0L) math.max(out.latencyMicros, minIntervalMicros)
-            else out.latencyMicros
-          FetchEvent(s.entry, s.salt, s.fetchSeq, out.status, out.kind,
-            out.bytes, lat, out.docId, out.payload)
-        }
-      }
+      .withColumn("__f", graft.functions.WireFunctions.synthFetch(
+        $"entry.url", $"entry.retry_count", synthCfg, minIntervalMicros))
+      .select($"entry", $"salt", $"fetchSeq",
+        $"__f.status".as("status"), $"__f.kind".as("kind"),
+        $"__f.bytes".as("bytes"), $"__f.latencyMicros".as("latencyMicros"),
+        $"__f.doc_id".as("doc_id"), $"__f.payload".as("payload"))
   }
 }

@@ -620,6 +620,55 @@ object Synth {
     }
   }
 
+  // ---- Catalyst-facing fetch row (fetch-as-expression, round 4) ----
+  //
+  // JFR attribution of the 32-thread mega wave put ~11% of execution samples
+  // in UTF8String↔java.lang.String conversion around the old typed fetch
+  // chain: Dataset[Sched].filter(typed lambda) deserialized every row for a
+  // boolean, mapPartitions deserialized the 13-field entry again, and the
+  // FetchEvent encoder re-serialized all eight entry strings per row. The
+  // fetch is stateless per row, so it runs as ONE codegen expression
+  // ([[graft.functions.SynthFetchExpr]]) over the sched frame instead: the
+  // entry struct is never decoded, the only String materialized per row is
+  // the url (the generator's parse input).
+  private val UOk = org.apache.spark.unsafe.types.UTF8String.fromString("ok")
+  private val UFail = org.apache.spark.unsafe.types.UTF8String.fromString("fail")
+  private val UListing = org.apache.spark.unsafe.types.UTF8String.fromString("listing")
+  private val UDocpage = org.apache.spark.unsafe.types.UTF8String.fromString("docpage")
+  private val UPdf = org.apache.spark.unsafe.types.UTF8String.fromString("pdf")
+  private val UUnknown = org.apache.spark.unsafe.types.UTF8String.fromString("unknown")
+
+  /** Test-only invocation counting: pins fetch-exactly-once-per-scheduled-row
+    * (a collapsed projection that inlined the fetch expression per extracted
+    * field would silently multiply generator work). Volatile flag keeps the
+    * hot path at one predictable branch. */
+  @volatile private[graft] var fetchRowCounting: Boolean = false
+  private[graft] val fetchRowCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** [[fetchEncoded]] as a Catalyst row — the fetch expression's kernel.
+    * Status/kind are interned UTF8Strings (no per-row allocation); the
+    * payload is the PayloadWriter's exact-size copy, never the scratch. */
+  def fetchRow(cfg: SynthConfig, url: org.apache.spark.unsafe.types.UTF8String,
+      attempt: Int, minIntervalMicros: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    if (fetchRowCounting) fetchRowCount.incrementAndGet()
+    val out = fetchEncoded(cfg, url.toString, attempt)
+    val lat =
+      if (minIntervalMicros > 0L && out.latencyMicros < minIntervalMicros) minIntervalMicros
+      else out.latencyMicros
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (out.status == "ok") UOk else UFail,
+      out.kind match {
+        case "listing" => UListing
+        case "docpage" => UDocpage
+        case "pdf"     => UPdf
+        case _         => UUnknown
+      },
+      out.bytes, lat,
+      if (out.docId == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(out.docId),
+      out.payload))
+  }
+
   /** Seed frontier: page-1 listing URL per (court, query). */
   def seedEntries(cfg: SynthConfig): Seq[FrontierEntry] =
     for {

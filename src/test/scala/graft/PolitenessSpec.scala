@@ -81,8 +81,10 @@ class PolitenessSpec extends AnyFunSuite {
       maxBucketRows = Int.MaxValue)
     val sched = Politeness.schedule(bigHostFrontier(200), cfg)
     val interval = 50000L // 50 ms ⇒ ≤ 20 req/s/host (25 req/min analog scaled)
-    val limited = Politeness.fetchAll(sched, SynthConfig(), interval).collect()
-    val free = Politeness.fetchAll(sched, SynthConfig()).collect()
+    val limited = Politeness.fetchAll(sched, SynthConfig(), interval)
+      .as[graft.operators.FetchEvent].collect()
+    val free = Politeness.fetchAll(sched, SynthConfig())
+      .as[graft.operators.FetchEvent].collect()
     // every bucket drains sequentially, so Σ latency is the bucket wall:
     // wall >= n × interval ⇒ rate = n / wall <= 1e6 / interval
     limited.groupBy(e => (e.entry.host, e.salt)).foreach { case (_, evs) =>
@@ -116,5 +118,24 @@ class PolitenessSpec extends AnyFunSuite {
     assert(scheduled.length === n, "each canonical scheduled exactly once")
     assert(scheduled.forall(_.entry.priority < 1000L), "the (priority,url)-minimal copy wins")
     assert(sched.count(!_.scheduled) === 0, "losing copies drop silently (not deferred)")
+  }
+
+  test("fetch expression evaluates EXACTLY once per scheduled row") {
+    // The flatten projection references the fetch struct six times; if
+    // CollapseProject ever inlined the (non-cheap) expression per field, the
+    // generator would run 6× per row with identical results — invisible to
+    // every value-equality test, 6× the fetch-stage cost. Pin the count.
+    import graft.sources.{Synth, SynthConfig}
+    val cfg = CrawlConfig(budgetPerHost = 256, numPartitions = 4, saltMax = 2,
+      maxBucketRows = Int.MaxValue)
+    val sched = Politeness.schedule(bigHostFrontier(200), cfg)
+    Synth.fetchRowCounting = true
+    Synth.fetchRowCount.set(0L)
+    try {
+      val events = Politeness.fetchAll(sched, SynthConfig()).collect()
+      assert(events.length === 200)
+      assert(Synth.fetchRowCount.get() === 200L,
+        s"fetch ran ${Synth.fetchRowCount.get()} times for 200 scheduled rows")
+    } finally Synth.fetchRowCounting = false
   }
 }

@@ -434,10 +434,26 @@ object Bench {
     val ybar = steady.sum / n
     val slope = steady.zipWithIndex.map { case (y, x) => (x - xbar) * (y - ybar) }.sum /
       steady.indices.map(x => (x - xbar) * (x - xbar)).sum
+    // Theil–Sen estimator — median of all pairwise slopes. The OLS slope is
+    // dominated by single weather spikes (one 3× round near an endpoint
+    // swings it by whole percents of the mean); the median-of-slopes is the
+    // standard robust alternative (up to ~29% outliers tolerated) and is the
+    // number to read when the two disagree.
+    val tsSlope = {
+      val ys = steady.toArray
+      val ps = for {
+        j <- ys.indices.iterator
+        i <- 0 until j
+      } yield (ys(j) - ys(i)) / (j - i)
+      val sorted = ps.toArray.sorted
+      if (sorted.isEmpty) 0.0
+      else if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+    }
     val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val fl = files.mkString("[", ",", "]")
     val cs = compactSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
-    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"ratio_late_over_steady":${late / earlyPost}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f}"""
+    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"ratio_late_over_steady":${late / earlyPost}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f,"slope_theil_sen_sec_per_round":$tsSlope%.4f,"slope_theil_sen_pct_of_mean":${100.0 * tsSlope / ybar}%.2f}"""
   }
 
   /** Run `rounds` consecutive crawl rounds in ONE work dir so history

@@ -300,9 +300,15 @@ object Politeness {
       minIntervalMicros: Long = 0L): DataFrame = {
     val spark = scheduled.sparkSession
     import spark.implicits._
+    // No physical re-sort: the scheduler's drain already emits every bucket
+    // CONTIGUOUSLY in fetchSeq order (heaps.valuesIterator.flatMap over the
+    // per-bucket drains), so within-bucket fetch order — the order the
+    // politeness model defines and CrawlSpec pins via the fetchSeq COLUMN —
+    // is physical for free; the old sortWithinPartitions only normalized
+    // bucket-to-bucket order at the cost of a full per-partition external
+    // sort of the wave (row copies + comparator in the hot path).
     scheduled.toDF()
       .filter($"scheduled")
-      .sortWithinPartitions($"entry.host", $"salt", $"fetchSeq")
       .withColumn("__f", graft.functions.WireFunctions.synthFetch(
         $"entry.url", $"entry.retry_count", synthCfg, minIntervalMicros))
       .select($"entry", $"salt", $"fetchSeq",

@@ -216,13 +216,7 @@ object Bench {
     val urls = report.fetched_ok + report.fetch_failed + report.dup_url
     spark.stop()
     // clean up the work dirs (bench temp state only)
-    Seq(workDir, warmDir).foreach { d =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator.asScala
-          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => }
-    }
+    Seq(workDir, warmDir).foreach(cleanupDir)
     (urls, secs, alloc)
   }
 
@@ -257,14 +251,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     // ---- headline query timings at the requested parallelism ----
+    // Failures are LOUD AND VISIBLE IN THE ARTIFACT: a query that starts
+    // failing must surface as an `err` entry in the JSON, not contribute ~0 s
+    // and silently *improve* the headline total (VERDICT r4 Missing #3).
+    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = if (sys.env.contains("SPARK_GRAFT_SKIP_HEADLINE")) Nil else {
       val spark = newSession(cpus)
       // warmup: JIT + codegen + parquet footer caches on an untimed pass
-      force(SparkEntry.queries("q_pricing_summary")(spark, sfDir))
+      try force(SparkEntry.queries("q_pricing_summary")(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: warmup query failed: $e") }
       val rs = Headline.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)) } catch { case _: Throwable => }
+        try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
+          queryErrors(name) = e.toString.linesIterator.next().take(200)
+          System.err.println(s"[bench] ERROR: query $name FAILED: $e")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
       spark.stop()
@@ -272,11 +275,11 @@ object Bench {
     }
 
     // ---- scaling protocol: same crawl, CPU-confined, N=8 vs 4N=32 cores ----
-    // Each level runs TWICE and the best run counts: the sandbox is a shared-
-    // host VM with ±20% run-to-run noise (measured on identical configs);
-    // min-time is the standard noise-robust estimator for fixed workloads.
     val n = sys.env.getOrElse("SPARK_GRAFT_CRAWL_N", "800000").toInt
     val pairs = sys.env.getOrElse("SPARK_GRAFT_CRAWL_PAIRS", "3").toInt
+    // Budget-bounded extension: when none of the initial `pairs` windows is
+    // measurable (see validity rule below), keep sampling until one is.
+    val maxPairs = math.max(pairs, sys.env.getOrElse("SPARK_GRAFT_CRAWL_MAX_PAIRS", "6").toInt)
     // PAIRED sampling: this shared-host VM's throughput swings ±50% on a
     // minutes scale (adjacent identical 32-core runs measured 73 s and
     // 136 s), so a ratio of two independently-sampled levels is mostly host
@@ -301,23 +304,51 @@ object Bench {
         * offered — a >1 readout would be a looseness artifact of the bound,
         * not superlinear engine scaling. */
       def effNormalizedWindow: Double = math.min(1.0, eff / windowCeiling)
+      /** In-run VALIDITY rule (VERDICT r4 Next #1): a window is congestion-
+        * unmeasurable — and must not become the number of record — when
+        *  (a) the pair is INVERTED (secs_32 >= secs_8: a healthy 8→32 step on
+        *      real hardware cannot run slower with 4× cores on identical
+        *      work; observed only under sustained host congestion), or
+        *  (b) the window's own binding hardware ceiling is below 0.2 (the
+        *      probes themselves certify the window offered <0.2 of the 4×
+        *      step — whatever the crawl reads there is weather, not engine).
+        * Rejected pairs stay in the artifact (transparency) but are excluded
+        * from pair-of-record selection. */
+      def rejectReason: String =
+        if (s32 >= s8) "inverted"
+        else if (windowCeiling < 0.2) "congested_window"
+        else null
+      def valid: Boolean = rejectReason == null
     }
     // ALL probes ride inside each pair's weather window (a ceiling whose two
     // levels sample different windows is meaningless — one driver run
     // measured a "bandwidth ratio" of 2.2 that way); per-level MAX across
     // windows then estimates true capacity at each width.
-    val samples = (1 to pairs).map { _ =>
+    def samplePair(): Sample = {
       val (u8, s8, a8) = crawlBenchIsolated(8, n)
       val (u32, s32, a32) = crawlBenchIsolated(32, n)
       Sample(u8, s8, u32, s32, lcgIsolated(8), lcgIsolated(32),
         memIsolated(8), memIsolated(32),
         writeIsolated(8), writeIsolated(32), a8, a32)
     }
+    val sampleBuf = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    (1 to pairs).foreach(_ => sampleBuf += samplePair())
+    while (!sampleBuf.exists(_.valid) && sampleBuf.length < maxPairs) {
+      System.err.println(s"[bench] no valid pair after ${sampleBuf.length} windows " +
+        s"(${sampleBuf.map(_.rejectReason).mkString(", ")}) — sampling another")
+      sampleBuf += samplePair()
+    }
+    val samples = sampleBuf.toSeq
+    val validSamples = samples.filter(_.valid)
+    val pairValid = validSamples.nonEmpty
+    if (!pairValid) System.err.println(
+      s"[bench] WARNING: all $maxPairs windows congestion-unmeasurable — " +
+        "reporting cleanest pair with pair_valid=false")
     val (mem8, mem32) = (samples.map(_.mem8).max, samples.map(_.mem32).max)
-    // The reported pair is the one from the CLEANEST weather window (fastest
-    // combined wall time) — NOT max-efficiency, which is upward-biased by
-    // noise that happens to crush a pair's 8-core member.
-    val best = samples.minBy(s => s.s8 + s.s32)
+    // The pair of record is the one from the CLEANEST weather window (fastest
+    // combined wall time) AMONG VALID PAIRS — not max-efficiency, which is
+    // upward-biased by noise that happens to crush a pair's 8-core member.
+    val best = (if (pairValid) validSamples else samples).minBy(s => s.s8 + s.s32)
     val (urls8, secs8, urls32, secs32) = (best.u8, best.s8, best.u32, best.s32)
     val tput8 = urls8 / secs8
     val tput32 = urls32 / secs32
@@ -374,10 +405,32 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val qErrs = queryErrors
+      .map { case (k, e) => "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val growth = growthJson
+    // Full per-window transparency: every sampled pair, its own-window
+    // ceiling, and its validity verdict ride the artifact — the pair of
+    // record is auditable against the windows that were rejected.
+    val pairsJson = samples.map { s =>
+      val rej = Option(s.rejectReason).map(r => "\"" + r + "\"").getOrElse("null")
+      f"""{"secs_8":${s.s8}%.2f,"secs_32":${s.s32}%.2f,"eff":${s.eff}%.3f,"window_ceiling":${s.windowCeiling}%.3f,"valid":${s.valid},"reject":$rej}"""
+    }.mkString("[", ",", "]")
+    // BENCH schema self-description (ADVICE/VERDICT r4 #7): the overloaded
+    // `hw_ceiling_efficiency` name changed meaning r2→r3; consumers should
+    // read the explicitly-named fields.
+    val ceilingSchema = "hw_ceiling_efficiency == hw_ceiling_min_cpu_mem = " +
+      "min(hw_ceiling_cpu, hw_ceiling_mem) from cross-window per-level maxima " +
+      "(r3..r5 definition; r2 emitted the cpu-only ceiling under this name). " +
+      "hw_ceiling_write is measured but kept OUT of that min for cross-round " +
+      "continuity. scaling_efficiency_normalized = raw/min(cpu,mem); " +
+      "_normalized_cpu = raw/cpu (r2 continuity); _normalized_window = the " +
+      "reported pair's raw over that SAME pair's min(cpu,mem,write) ceiling, " +
+      "clamped at 1. pair_valid=false means every sampled window failed the " +
+      "in-run validity rule (inverted pair or window ceiling < 0.2)."
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"urls":$urls32,"urls_per_sec_8":$tput8%.1f,"urls_per_sec_32":$tput32%.1f,"secs_8":$secs8%.2f,"secs_32":$secs32%.2f,"scaling_efficiency":$efficiency%.3f,"hw_ceiling_efficiency":$hwEff%.3f,"hw_ceiling_cpu":$hwCpu%.3f,"hw_ceiling_mem":$hwMem%.3f,"mem_gbps_8":$mem8%.1f,"mem_gbps_32":$mem32%.1f,"alloc_gbps_8":$allocG8%.1f,"alloc_gbps_32":$allocG32%.1f,"wrt_gbps_8":$wrt8%.1f,"wrt_gbps_32":$wrt32%.1f,"hw_ceiling_write":$hwWrt%.3f,"scaling_efficiency_normalized":$normalized%.3f,"scaling_efficiency_normalized_cpu":$normalizedCpu%.3f,"scaling_efficiency_normalized_window":$normalizedWindow%.3f$growth}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","crawl":{"urls":$urls32,"urls_per_sec_8":$tput8%.1f,"urls_per_sec_32":$tput32%.1f,"secs_8":$secs8%.2f,"secs_32":$secs32%.2f,"scaling_efficiency":$efficiency%.3f,"pair_valid":$pairValid,"pairs_sampled":${samples.length},"pairs":$pairsJson,"hw_ceiling_efficiency":$hwEff%.3f,"hw_ceiling_min_cpu_mem":$hwEff%.3f,"hw_ceiling_cpu":$hwCpu%.3f,"hw_ceiling_mem":$hwMem%.3f,"mem_gbps_8":$mem8%.1f,"mem_gbps_32":$mem32%.1f,"alloc_gbps_8":$allocG8%.1f,"alloc_gbps_32":$allocG32%.1f,"wrt_gbps_8":$wrt8%.1f,"wrt_gbps_32":$wrt32%.1f,"hw_ceiling_write":$hwWrt%.3f,"scaling_efficiency_normalized":$normalized%.3f,"scaling_efficiency_normalized_cpu":$normalizedCpu%.3f,"scaling_efficiency_normalized_window":$normalizedWindow%.3f,"ceiling_schema":"$ceilingSchema"$growth}}"""
     println(json)
     // Belt-and-braces for the driver: the same line as a bare file (stdout
     // arrives through sbt, which has mangled it in past rounds). Path is
@@ -389,7 +442,64 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] WARNING: could not write $outPath: $e")
+      System.err.println(s"[bench] ERROR: could not write $outPath: $e")
+    }
+    // Headline == artifact, by construction (VERDICT r2/r3/r4 carried item):
+    // the BASELINE.md headline block is REGENERATED from this very JSON's
+    // values on every protocol run — a diff-able equality with the committed
+    // BENCH_r{N}.json, not a builder-transcribed number.
+    syncBaselineHeadline(pairValid, samples.length, urls32, tput8, tput32, secs8, secs32,
+      efficiency, normalizedWindow, best.windowCeiling, hwCpu, hwMem, hwWrt, total,
+      queryErrors.size)
+  }
+
+  /** Rewrite the auto-generated headline block in BASELINE.md (between the
+    * BENCH_HEADLINE_AUTO markers) from the numbers just emitted to
+    * bench_summary.json. Loud on failure, never fatal. */
+  private def syncBaselineHeadline(pairValid: Boolean, pairsSampled: Int, urls: Long,
+      tput8: Double, tput32: Double, secs8: Double, secs32: Double, eff: Double,
+      effWindow: Double, windowCeiling: Double, hwCpu: Double, hwMem: Double,
+      hwWrt: Double, queryTotal: Double, queryErrors: Int): Unit = {
+    val path = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BASELINE_MD",
+      java.nio.file.Paths.get(System.getProperty("user.dir"), "BASELINE.md").toString))
+    val begin = "<!-- BENCH_HEADLINE_AUTO_BEGIN -->"
+    val end = "<!-- BENCH_HEADLINE_AUTO_END -->"
+    try {
+      if (!java.nio.file.Files.exists(path)) {
+        System.err.println(s"[bench] WARNING: $path missing — headline not synced"); return
+      }
+      val text = java.nio.file.Files.readString(path)
+      val (i, j) = (text.indexOf(begin), text.indexOf(end))
+      if (i < 0 || j < 0 || j < i) {
+        System.err.println(s"[bench] WARNING: headline markers missing in $path"); return
+      }
+      val validNote =
+        if (pairValid) s"pair of record passed the in-run validity rule ($pairsSampled windows sampled)"
+        else s"NO valid window in $pairsSampled samples — cleanest rejected pair shown, gate evidence UNUSABLE this run"
+      val qErrNote = if (queryErrors == 0) "" else s" — **$queryErrors queries FAILED (see query_errors)**"
+      val block =
+        f"""$begin
+*(regenerated by `graft.Bench` on every protocol run — these numbers ARE
+`bench_summary.json` / the round's `BENCH_r{N}.json` `parsed.crawl`, not a
+transcription)*
+
+| Metric | Value |
+|---|---|
+| crawl mega-wave size | $urls%,d urls (after within-wave URL dedup) |
+| throughput, local[8] (taskset 0-7) | **${tput8}%,.1f urls fetched+deduped/sec** ($secs8%.1f s) |
+| throughput, local[32] (taskset 0-31) | **${tput32}%,.1f urls fetched+deduped/sec** ($secs32%.1f s) |
+| raw scaling efficiency (8→32, ÷4) | **$eff%.3f** |
+| pair validity | $validNote |
+| pair's own-window binding ceiling (min of cpu/read-bw/write-bw probes) | $windowCeiling%.3f |
+| **normalized, same-window** (raw ÷ pair's own binding ceiling, clamped at 1) | **$effWindow%.3f** |
+| hw ceilings, cross-window maxima — compute / read-bw / write-bw | $hwCpu%.3f / $hwMem%.3f / $hwWrt%.3f |
+| 20-query headline total, sf0.1 local[32] | **$queryTotal%.1f s**$qErrNote |
+$end"""
+      java.nio.file.Files.writeString(path,
+        text.substring(0, i) + block + text.substring(j + end.length))
+      System.err.println(s"[bench] synced headline block in $path")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ERROR: could not sync $path headline: $e")
     }
   }
 
@@ -400,14 +510,14 @@ object Bench {
     * round, shared work dir, accumulating history) at 32 cores and reports
     * first-round vs last-round wall seconds. Skipped when rounds < 2. */
   private def growthJson: String = {
-    // 24 × 40k (same total wall as r3's 8 × 100k): a longer horizon averages
-    // the host weather out, exercises THREE compaction cycles
-    // (compactEvery=8), and admits a per-round REGRESSION SLOPE instead of a
-    // noisy two-endpoint ratio (VERDICT r3 item 6).
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_GROWTH_ROUNDS", "24").toInt
-    val nPerRound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_N", "40000").toInt
+    // 48 × 20k (same total wall as r4's 24 × 40k): a longer horizon averages
+    // the host weather out, exercises SIX compaction cycles
+    // (compactEvery=8) — ≥5 cycles per VERDICT r4 Next #6 — and admits a
+    // per-round REGRESSION SLOPE instead of a noisy two-endpoint ratio.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_GROWTH_ROUNDS", "48").toInt
+    val nPerRound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_N", "20000").toInt
     if (rounds < 2) return ""
-    val (secs, files) = growthBench(32, rounds, nPerRound)
+    val (secs, files, docsFiles, judgFiles) = growthBench(32, rounds, nPerRound)
     secs.zip(files).zipWithIndex.foreach { case ((s, f), i) =>
       System.err.println(f"[bench] growth round ${i + 1}: $s%.1f s, seen-scan files=$f") }
     // Weather-robust statistics over the STEADY rounds (compaction-trigger
@@ -452,16 +562,22 @@ object Bench {
     }
     val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     val fl = files.mkString("[", ",", "]")
+    // Files-per-scan for ALL THREE history tables (VERDICT r4 Next #6): the
+    // docs/judgments histories ride the same compaction cadence as seen; a
+    // flat cycle in each is the structural no-unbounded-growth evidence.
+    val dfl = docsFiles.mkString("[", ",", "]")
+    val jfl = judgFiles.mkString("[", ",", "]")
     val cs = compactSecs.map(s => f"$s%.2f").mkString("[", ",", "]")
-    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"ratio_late_over_steady":${late / earlyPost}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f,"slope_theil_sen_sec_per_round":$tsSlope%.4f,"slope_theil_sen_pct_of_mean":${100.0 * tsSlope / ybar}%.2f}"""
+    f""","growth":{"rounds":$rounds,"n_per_round":$nPerRound,"secs_first":${secs.head}%.2f,"secs_last":${secs.last}%.2f,"secs_per_round":$all,"seen_scan_files":$fl,"docs_scan_files":$dfl,"judgments_scan_files":$jfl,"compact_every":$compactEvery,"compact_round_secs":$cs,"ratio_late_over_early":${late / early}%.3f,"ratio_late_over_steady":${late / earlyPost}%.3f,"slope_sec_per_round":$slope%.4f,"slope_pct_of_mean":${100.0 * slope / ybar}%.2f,"slope_theil_sen_sec_per_round":$tsSlope%.4f,"slope_theil_sen_pct_of_mean":${100.0 * tsSlope / ybar}%.2f}"""
   }
 
   /** Run `rounds` consecutive crawl rounds in ONE work dir so history
     * (seen set, docs hash frames, snapshot deltas) accumulates; each round's
     * frontier is a fresh, disjoint slice of the mega-frontier. Compaction
-    * runs on the CrawlConfig default cadence. Returns (wall seconds,
-    * seen-table files-per-scan) per round. */
-  private[graft] def growthBench(cpus: Int, rounds: Int, nPerRound: Int): (Seq[Double], Seq[Long]) = {
+    * runs on the CrawlConfig default cadence. Returns per-round (wall
+    * seconds, seen / docs / judgments files-per-scan). */
+  private[graft] def growthBench(cpus: Int, rounds: Int, nPerRound: Int)
+      : (Seq[Double], Seq[Long], Seq[Long], Seq[Long]) = {
     val spark = newSession(cpus)
     import org.apache.spark.sql.functions._
     val synthCfg = SynthConfig(
@@ -489,18 +605,26 @@ object Bench {
       val t0 = System.nanoTime()
       Crawler.runRound(spark, cfg, synthCfg, workDir, r, slice)
       val secs = (System.nanoTime() - t0) / 1e9
-      (secs, graft.sources.Snapshots.scanFileCount(workDir, Crawler.SeenTable))
+      (secs,
+        graft.sources.Snapshots.scanFileCount(workDir, Crawler.SeenTable),
+        graft.sources.Snapshots.scanFileCount(workDir, Crawler.DocsTable),
+        graft.sources.Snapshots.scanFileCount(workDir, Crawler.JudgmentsTable))
     }
     spark.stop()
-    Seq(workDir, warmDir).foreach { d =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator.asScala
-          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => }
-    }
-    (out.map(_._1), out.map(_._2))
+    Seq(workDir, warmDir).foreach(cleanupDir)
+    (out.map(_._1), out.map(_._2), out.map(_._3), out.map(_._4))
   }
+
+  /** Best-effort bench scratch cleanup — failure is non-fatal but LOUD (a
+    * silently full /dev/shm degrades every later window in the run). */
+  private def cleanupDir(d: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator.asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: could not clean scratch $d: $e")
+    }
 
   /** The LCG probe in a taskset-confined subprocess (same confinement as the
     * crawl levels). Returns total iters/sec. */

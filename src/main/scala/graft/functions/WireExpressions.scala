@@ -66,6 +66,21 @@ object WireExpressions {
   * generator work silently. */
 case class SynthFetchExpr(left: Expression, right: Expression,
     cfg: SynthConfig, minIntervalMicros: Long) extends BinaryExpression {
+  // analysis-time type check: a mistyped url/retry_count input must fail
+  // with a clear AnalysisException, not a ClassCastException inside the
+  // generated code (ADVICE r4). Implemented directly (ExpectsInputTypes'
+  // AbstractDataType is private[sql] in Spark 4).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"synthFetch url argument must be STRING, got ${left.dataType.sql}")
+    else if (right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"synthFetch retry_count argument must be INT, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = WireExpressions.FetchSchema
   override def nullable: Boolean = true
   override protected def nullSafeEval(url: Any, attempt: Any): Any =

@@ -271,10 +271,12 @@ object Politeness {
       }
   }
 
-  /** Execute the scheduled fetches. Rows are ordered (host, salt, fetchSeq)
-    * within each partition so each politeness bucket is drained strictly in
-    * priority order — `fetchSeq` IS the crawl order within a bucket. The
-    * simulator is pure, so this is embarrassingly parallel across buckets. */
+  /** Execute the scheduled fetches. Physical row order is inherited from the
+    * scheduler's drain, which emits every (host, salt) bucket CONTIGUOUSLY in
+    * fetchSeq order — `fetchSeq` IS the crawl order within a bucket (the
+    * order the politeness model defines; CrawlSpec pins it via the column).
+    * The simulator is pure, so this is embarrassingly parallel across
+    * buckets. */
   /** `minIntervalMicros > 0` enforces a per-host wall-clock rate in the
     * latency model: each politeness bucket is drained sequentially (rows
     * sorted by fetchSeq), so clamping every fetch's modeled latency to at
@@ -287,8 +289,9 @@ object Politeness {
     * `FetchEvent` objects — decoded the 13-field entry struct twice per row
     * and re-encoded its eight strings once more; that row↔object churn was
     * ~11% of 32-thread execution samples (JFR). Now the only per-row object
-    * work is the url String the generator parses: a Column filter, a
-    * within-partition sort, and ONE codegen expression
+    * work is the url String the generator parses: a Column filter and ONE
+    * codegen expression (no physical re-sort — order is inherited from the
+    * scheduler drain's per-bucket contiguity, see the in-method note)
     * ([[graft.functions.SynthFetchExpr]] — byte-direct `Synth.fetchEncoded`
     * inside, bit-equal to fetch+encode per HashingSpec) producing the
     * (status, kind, bytes, latencyMicros, doc_id, payload) struct, flattened

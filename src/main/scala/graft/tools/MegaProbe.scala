@@ -26,9 +26,10 @@ object MegaProbe {
       // growth mode: args = cpus rounds nPerRound
       val rounds = n
       val nPer = if (args.length > 2) args(2).toInt else 100000
-      val (secs, files) = graft.Bench.growthBench(cpus, rounds, nPer)
-      secs.zip(files).zipWithIndex.foreach { case ((s, f), i) =>
-        println(f"GROWTH round ${i + 1}: $s%.1f s files=$f") }
+      val (secs, files, docsFiles, judgFiles) = graft.Bench.growthBench(cpus, rounds, nPer)
+      secs.indices.foreach { i =>
+        println(f"GROWTH round ${i + 1}: ${secs(i)}%.1f s files=${files(i)} " +
+          f"docs=${docsFiles(i)} judg=${judgFiles(i)}") }
       // compaction-trigger rounds carry the amortized segment fold — exclude
       // them from the endpoint ratio (same rule as Bench.growthJson)
       val ce = graft.model.CrawlConfig().compactEvery

@@ -138,4 +138,19 @@ class PolitenessSpec extends AnyFunSuite {
         s"fetch ran ${Synth.fetchRowCount.get()} times for 200 scheduled rows")
     } finally Synth.fetchRowCounting = false
   }
+
+  test("fetch expression rejects mistyped inputs at analysis time (ADVICE r4)") {
+    import graft.sources.SynthConfig
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(3).selectExpr("cast(id as string) as url", "cast(id as int) as rc")
+    // wrong url type (long) and wrong retry_count type (string) must both
+    // surface as a clear analysis error, not a codegen/ClassCastException
+    for ((u, r) <- Seq((col("url").cast("long"), col("rc")), (col("url"), lit("x")))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(graft.functions.WireFunctions.synthFetch(u, r, SynthConfig(), 0L)).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("synthfetch") ||
+        e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
+    }
+  }
 }

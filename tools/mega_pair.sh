@@ -13,11 +13,18 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 MEM="${SPARK_GRAFT_BENCH_MEM:-20g}"
-XMN="$(( ${MEM%g} * 7 / 10 ))g"
+# SPARK_GRAFT_BENCH_MEM must be whole gigabytes with a 'g' suffix (e.g. 20g):
+# the -Xmn derivation below is integer-GB arithmetic
+case "$MEM" in
+  *g) XMN="$(( ${MEM%g} * 7 / 10 ))g" ;;
+  *)  echo "mega_pair.sh: SPARK_GRAFT_BENCH_MEM must look like '20g' (got '$MEM')" >&2
+      exit 2 ;;
+esac
 for CPUS in "$@"; do
   taskset -c "0-$((CPUS - 1))" "$JAVA" $OPENS \
     -Xmx"$MEM" -Xms"$MEM" -Xmn"$XMN" -XX:+UseParallelGC \
     -XX:-DontCompileHugeMethods \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "$CP" graft.tools.MegaProbe "$CPUS" "$N" 2>/dev/null | grep '^MEGA'
+    -cp "$CP" graft.tools.MegaProbe "$CPUS" "$N" 2>>/tmp/mega_pair.err.log | grep '^MEGA' \
+    || echo "mega_pair.sh: no MEGA line at cpus=$CPUS (see /tmp/mega_pair.err.log)" >&2
 done

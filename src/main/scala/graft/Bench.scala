@@ -186,7 +186,13 @@ object Bench {
     // every fetch wave's last task wave)
     val cfg = CrawlConfig(
       budgetPerHost = Int.MaxValue / 2, maxRetries = 3,
-      numPartitions = cpus * 8, saltMax = 64)
+      numPartitions = cpus * sys.env.getOrElse("GRAFT_BENCH_PARTS_MULT", "8").toInt,
+      saltMax = 64,
+      // cluster-mode probe routing, measurable in the bench since the r5
+      // narrow-key markDupes (the probe shuffle now moves ~70 B/row keys,
+      // not frontier rows); default stays off in local mode (shared JVM
+      // filter cache — the shuffle buys no locality here)
+      probeRepartition = sys.env.get("GRAFT_PROBE_REPARTITION").contains("1"))
     val workDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-bench-$cpus").toString
 
     // frontier of n pdf URLs (dup plants via Synth's content arithmetic)

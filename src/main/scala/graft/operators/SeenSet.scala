@@ -217,19 +217,33 @@ object SeenSet {
     *
     * Plan shape (scale rationale in the class doc):
     * {{{
-    *   incoming ──[bloom+cuckoo probe, one projection]─┬─ negative → __dup=false
-    *                                                   └─ positive ──left join seen keys──
-    *                                                        __dup = key found (FPs survive as novel)
+    *   keys = incoming.select(url_hash, canonical_url)   // NARROW projection
+    *   keys ──[route by pmod(url_hash, buckets) if probeRepartition]
+    *        ──[bloom+cuckoo probe, one projection]── positives (tiny) ── distinct
+    *   dupKeys = seen ──semi-join positives──          // seen NEVER shuffled
+    *   incoming ──left join dupKeys── __dup            // AQE: broadcast when tiny
     * }}}
     * The probe UDF short-circuits: bloom first (in-memory, loaded once per
     * executor), cuckoo bucket only on bloom positives. Only probe-positive
-    * rows reach the exact join, whose probe side is tiny (true dupes + FPs)
-    * and broadcastable.
+    * keys reach the exact join, whose probe side is tiny (true dupes + FPs).
     *
     * `probeRepartition`: at cluster scale, pre-shuffling by `pmod(url_hash,
-    * buckets)` gives each executor a disjoint slice of the cuckoo bucket
+    * buckets)` gives each executor a disjoint slice of the bloom/cuckoo shard
     * files (memory O(filters/executors)); in local mode all tasks share one
     * JVM cache, so the shuffle is pure overhead — disable it there.
+    *
+    * ONLY THE NARROW (url_hash, canonical_url) PROJECTION rides that probe
+    * shuffle — never the full frontier row (round 5; VERDICT r4 Next #5).
+    * The pre-r5 shape repartitioned `incoming` itself, so a cluster-mode
+    * round paid two full-frontier exchanges (probe + politeness); now the
+    * probe exchange moves ~70 B/row of keys and the politeness exchange is
+    * the round's single wide one (pinned by the HistoryPlanSpec plan walk).
+    * The final dup-key join stays un-hinted: the hit set is bounded by the
+    * round's probe-positive slice in the common case (AQE broadcasts it),
+    * but a revisit-heavy frontier can rediscover an arbitrary fraction of
+    * seen — a forced broadcast would collect past the driver cap, while AQE
+    * falls back to a shuffled join only exactly when the dup set is that
+    * large.
     */
   def markDupes(
       incoming: DataFrame,
@@ -238,41 +252,33 @@ object SeenSet {
       buckets: Int = DefaultBuckets,
       probeRepartition: Boolean = true,
       seenKeysUnique: Boolean = false): DataFrame = {
+    val keys = incoming.select(col("url_hash"), col("canonical_url"))
     val routed =
-      if (probeRepartition) incoming.repartition(buckets, pmod(col("url_hash"), lit(buckets)))
-      else incoming
+      if (probeRepartition) keys.repartition(buckets, pmod(col("url_hash"), lit(buckets)))
+      else keys
     val probe = udf(new SeenProbe(filterDir, buckets))
-    val flagged = routed.withColumn("__maybe_seen", probe(col("url_hash")))
-    val neg = flagged.filter(!col("__maybe_seen")).withColumn("__dup", lit(false))
-    // Exact check, restructured so the SEEN TABLE IS NEVER SHUFFLED — the
-    // round-1 left join shuffled the full union-of-all-rounds seen table
-    // every round (the dominant cost at 10^10 URLs × hundreds of rounds):
-    //   1. semi-join seen against the (tiny: true dupes + filter FPs)
-    //     probe-positive key set — AQE broadcasts the small side at runtime,
-    //     so seen is scanned map-side, column-pruned, exchange-free;
-    //   2. broadcast the resulting hit set back onto the positive rows.
+    // probe-positive keys, deduplicated (the frontier can carry several
+    // entries per canonical URL — the politeness keep-first collapses them
+    // later; the distinct here runs on the tiny positive slice only)
+    val posKeys = routed.filter(probe(col("url_hash"))).distinct()
+    // Exact check: semi-join seen against the tiny positive key set — AQE
+    // broadcasts the small side at runtime, so the union-of-all-rounds SEEN
+    // TABLE IS NEVER SHUFFLED (the round-1 left join shuffled it every
+    // round — the dominant cost at 10^10 URLs × hundreds of rounds).
     // The join matches (url_hash, canonical_url), NOT the hash alone: at the
     // 10^10-URL design point ~3 random 64-bit collisions are expected, and a
     // hash-only match would silently classify a novel URL as seen (never
     // crawled).
-    val posRows = flagged.filter(col("__maybe_seen"))
-    val posKeys = posRows.select(col("url_hash"), col("canonical_url")).distinct()
     val hitsRaw = seen.select(col("url_hash"), col("canonical_url"))
       .join(posKeys, Seq("url_hash", "canonical_url"), "left_semi")
     // seen deltas may repeat a key across rounds unless the caller
     // guarantees uniqueness (the crawler's are disjoint by construction)
-    // no forced broadcast: the hit set is bounded by this round's
-    // probe-positive slice in the common case, but a revisit-heavy frontier
-    // can rediscover an arbitrary fraction of seen — a broadcast() hint
-    // there would collect past the driver cap. AQE picks the strategy from
-    // the runtime size (broadcast when small, shuffled join when not).
-    val hits = (if (seenKeysUnique) hitsRaw else hitsRaw.distinct())
+    val dupKeys = (if (seenKeysUnique) hitsRaw else hitsRaw.distinct())
       .withColumn("__in_seen", lit(true))
-    val pos = posRows
-      .join(hits, Seq("url_hash", "canonical_url"), "left")
+    incoming
+      .join(dupKeys, Seq("url_hash", "canonical_url"), "left")
       .withColumn("__dup", coalesce(col("__in_seen"), lit(false)))
       .drop("__in_seen")
-    neg.unionByName(pos).drop("__maybe_seen")
   }
 
   /** Combined bloom→cuckoo membership probe with per-JVM lazy caches. A plain

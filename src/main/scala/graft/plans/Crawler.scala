@@ -188,6 +188,10 @@ object Crawler {
     // model — and the bench's tmpfs) it is pure extra copies.
     spark.sparkContext.hadoopConfiguration
       .set("parquet.hadoop.vectored.io.enabled", "false")
+    // dev knob for write-churn A/B: parquet page size (bytes) for all crawl
+    // table writes; unset = parquet-mr default (1 MB)
+    sys.env.get("GRAFT_PARQUET_PAGE").foreach(v =>
+      spark.sparkContext.hadoopConfiguration.set("parquet.page.size", v))
     // Payload-aware vectorized-reader shape: the default 4096-row batch
     // means a ~60 MB on-heap column vector PER TASK for the ~15 KB binary
     // payload column — reserveInternal alone was 90 GB (22%) of the mega
@@ -300,15 +304,19 @@ object Crawler {
         $"latencyMicros".as("latency_micros"), $"partition_id",
         $"doc_id",
         graft.functions.WireFunctions.docHashesStruct($"payload").as("doc_hashes"),
-        // paragraphs-at-fetch (same rationale as hash-at-fetch): the W1
-        // fold + P7/P8 filter run here, while the payload bytes are hot —
-        // the paragraphs write then reads this pruned array column instead
-        // of re-scanning the full payload bytes (16 GB + ~700 task
-        // launches per mega wave). Dup-doomed docs pay the fold too, but
-        // the dedup drop fraction is politeness-bounded and the fold is
-        // ~100 cpu-s/wave vs the re-scan's ~500.
-        graft.functions.WireFunctions.wireParagraphs($"payload").as("paras"),
         $"payload")
+    // NO paras-at-fetch (round 5, reversing the round-4 choice on a round-5
+    // measurement): the fetched paragraph content was 40% of fetch_log's
+    // durable bytes (48.8 of 123 MB in the column-chunk breakdown) and rode
+    // the FETCH stage — the binding stage of the 8→32 scaling pair (eff
+    // 0.45) on the binding resource (durable-write bandwidth, ceiling
+    // 0.34-0.44). The fold now runs at the paragraphs write over dedup
+    // SURVIVORS only, via the same byte-direct kernel on a payload re-scan
+    // coalesced to tailTasks — the tail stages scale at eff ~0.71, and the
+    // round-4 objection to the re-scan (~700 task launches) predates the
+    // coalesce(tailTasks) discipline. Net: the same fold work moved from
+    // the worst-scaling stage to a better one, and ~40% of the fetch wave's
+    // durable bytes gone.
     // bounded files ⇒ downstream scans parallelize evenly even though the
     // fetch partitioning is politeness-skewed (dominant court hosts)
     val fetchLogCount = named("fetch+log-write")(Snapshots.writeTable(workDir, round, FetchLogTable, eventsRaw,
@@ -372,7 +380,7 @@ object Crawler {
     // story. The cache is ~200 B/row (payload pruned at the scan), so it is
     // always memory-resident; spans/payload bytes never enter it.
     val eventsNarrow = events.select(
-        events.columns.filter(c => c != "payload" && c != "paras").map(col): _*)
+        events.columns.filter(_ != "payload").map(col): _*)
       .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
       .persist()
 
@@ -588,16 +596,19 @@ object Crawler {
         keptNarrow.columns.filter(_ != "doc_id").map(col).toSeq): _*)
     val docsWriteF = Future(named("docs-write")(Snapshots.writeTable(workDir, round, DocsTable, docsKept)))
 
-    // paragraphs were computed AT FETCH (wireParagraphs column): this write
-    // reads only (doc_id, paras) — column-pruned, no payload bytes — joins
-    // the broadcast survivor ids, and explodes. Runs concurrently with the
-    // docs write (independent jobs over the same committed log).
+    // Paragraphs: W1 fold + P7/P8 filter over the SURVIVORS' payload bytes
+    // (one byte-direct codegen expression, WireParagraphsExpr — null for
+    // docless payloads, and explode drops null arrays). The broadcast
+    // survivor join prunes the scan to kept docs before the fold, so
+    // dup-doomed docs never pay it; runs concurrently with the docs write
+    // (independent jobs over the same committed log).
     val parasF = Future { named("paras-write") {
-      val paras = okEvents.filter($"kind" === "pdf" && $"paras".isNotNull)
-        .select($"doc_id", $"paras")
+      val paras = okEvents.filter($"kind" === "pdf" && $"payload".isNotNull)
+        .select($"doc_id", $"payload")
         .coalesce(tailTasks)
         .join(broadcast(keptNarrow.select($"doc_id")), Seq("doc_id"))
-        .select($"doc_id", explode($"paras").as("p"))
+        .select($"doc_id",
+          explode(graft.functions.WireFunctions.wireParagraphs($"payload")).as("p"))
         .select($"doc_id", lit("plain").as("extractor"), $"p.page".as("page"),
           $"p.paragraph_number".as("paragraph_number"), $"p.content".as("content"),
           $"p.reference".as("reference"))

@@ -134,6 +134,49 @@ class HistoryPlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("D1+politeness: ONE full-frontier exchange per round even with probeRepartition on") {
+    // VERDICT r4 Next #5: the pre-r5 plan repartitioned the WHOLE frontier
+    // for cuckoo-shard locality (probeRepartition) and then AGAIN for the
+    // politeness buckets — two full-frontier exchanges per round at cluster
+    // scale. Round 5 routes only the narrow (url_hash, canonical_url)
+    // projection through the probe shuffle; this walk pins that the final
+    // physical plan shuffles frontier-wide rows exactly once (the politeness
+    // (host, salt) exchange).
+    val dir = java.nio.file.Files.createTempDirectory("graft-d1plan").toString
+    spark.range(5000L).select(
+      xxhash64($"id").as("url_hash"),
+      concat(lit("https://h.example.org/u/"), $"id").as("canonical_url"))
+      .write.parquet(s"$dir/seen_history")
+    val seen = spark.read.parquet(s"$dir/seen_history")
+    graft.operators.SeenSet.rebuildFilters(seen, s"$dir/filters")
+    val incoming = spark.range(2000L).select(
+      concat(lit("https://h.example.org/u/"), $"id").as("url"),
+      concat(lit("https://h.example.org/u/"), $"id").as("canonical_url"),
+      xxhash64($"id").as("url_hash"),
+      lit("h.example.org").as("host"),
+      lit("c").as("court"), lit("q").as("query"), lit(1).as("page"),
+      lit(1).as("depth"), $"id".as("priority"), lit("pending").as("status"),
+      lit(0).as("retry_count"), lit(0).as("discovered_round"))
+    incoming.write.parquet(s"$dir/frontier")
+    val pending = spark.read.parquet(s"$dir/frontier")
+    val flagged = SeenSet.markDupes(pending, seen, s"$dir/filters",
+      probeRepartition = true, seenKeysUnique = true)
+      .withColumn("__drop", when($"__dup", lit("dup")))
+      .drop("__dup")
+    val sched = graft.operators.Politeness.scheduleFlagged(
+      flagged, graft.model.CrawlConfig(budgetPerHost = 256, numPartitions = 4, saltMax = 4))
+    val out = sched.toDF()
+    out.collect() // finalize the AQE plan
+    val wide = flatten(out.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike
+          if s.output.exists(a => a.name == "entry") ||
+             Set("url", "status", "retry_count").subsetOf(s.output.map(_.name).toSet) =>
+        s.output.map(_.name).mkString(",")
+    }
+    assert(wide.size == 1,
+      s"expected exactly ONE full-frontier exchange (politeness), found ${wide.size}: $wide")
+  }
+
   test("D1: the seen table is scanned map-side, never shuffled, in markDupes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-seenplan").toString
     spark.range(80000L).select(

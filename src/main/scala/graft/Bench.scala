@@ -52,9 +52,47 @@ object Bench {
       // per mega-wave plus 256× the flush syscalls (JFR, round 4). Must be
       // set at session build (hadoop conf, not runtime-settable).
       .config("spark.hadoop.io.file.buffer.size", (1024 * 1024).toString)
+      // JVM case mappings instead of ICU (Spark 4 defaults to ICU for
+      // UTF8_BINARY lower/upper): the crawl's only hot lower() is host
+      // canonicalization (Urls.host) and hosts are case-insensitive ASCII by
+      // RFC; ICU's UCharacter path measured 3.1 GB/wave of BreakIterator and
+      // CaseMapImpl allocations (JFR, round 5) for byte-identical output on
+      // ASCII. Identical results for all ASCII inputs (synth vocab and the
+      // driver testdata are pure ASCII — verified).
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    trimHadoopConf(s)
     s
+  }
+
+  /** Strip the session's Hadoop configuration to the entries local-FS parquet
+    * jobs actually consult. Spark ships a `SerializableConfiguration` inside
+    * EVERY write task's closure (`WriteFilesExec` → `WriteJobDescription`),
+    * and Hadoop's `Configuration.write/readFields` round-trips EACH property
+    * through its own GZIP stream — with ~700 `core-default.xml` entries that
+    * measured 7.8 GB/wave of inflater buffers plus IOException-based EOF
+    * probing (JFR, round 5; the 3.3 GB "exception stack trace" item was this).
+    * Every surviving key falls back to the identical code-side default when
+    * absent, so behavior is unchanged; on a REAL cluster the cluster conf
+    * carries required site entries and this trim must not run — it is bench-
+    * session tuning (local[N] protocol + headline queries), not library code.
+    * Opt-out via GRAFT_TRIM_HADOOP_CONF=0 for A/B. */
+  private def trimHadoopConf(s: SparkSession): Unit = {
+    if (sys.env.get("GRAFT_TRIM_HADOOP_CONF").contains("0")) return
+    // Force SharedState/SessionState init FIRST: its constructor may
+    // addResource() on the context conf, which nulls the materialized
+    // property table and the next getProps() reloads every default —
+    // silently undoing a too-early trim.
+    s.sessionState
+    val hc = s.sparkContext.hadoopConfiguration
+    val keep = Seq("io.file.buffer.size", "fs.defaultFS", "hadoop.tmp.dir",
+      "fs.permissions.umask-mode", "hadoop.security.authentication")
+      .flatMap(k => Option(hc.get(k)).map(k -> _))
+    hc.clear()
+    keep.foreach { case (k, v) => hc.set(k, v) }
+    System.err.println(s"[bench] hadoop conf trimmed: context=${hc.size()} " +
+      s"write-task=${s.sessionState.newHadoopConf().size()} entries")
   }
 
   /** Force full plan execution (count() would let Catalyst prune the
@@ -221,8 +259,9 @@ object Bench {
     val alloc = if (alloc0 < 0) -1L else allocatedBytes() - alloc0
     val urls = report.fetched_ok + report.fetch_failed + report.dup_url
     spark.stop()
-    // clean up the work dirs (bench temp state only)
-    Seq(workDir, warmDir).foreach(cleanupDir)
+    // clean up the work dirs (bench temp state only); keep for dev byte-audit
+    if (sys.env.contains("GRAFT_KEEP_WORKDIR")) System.err.println(s"[bench] workDir kept: $workDir")
+    else Seq(workDir, warmDir).foreach(cleanupDir)
     (urls, secs, alloc)
   }
 

@@ -636,29 +636,40 @@ $end"""
   private[graft] def growthBench(cpus: Int, rounds: Int, nPerRound: Int)
       : (Seq[Double], Seq[Long], Seq[Long], Seq[Long]) = {
     val spark = newSession(cpus)
+    import spark.implicits._
     import org.apache.spark.sql.functions._
+    // pagesPerQuery = rounds so every round can fetch a FRESH page of
+    // listings per (court, query): pdf-only growth waves left the judgments
+    // history vacuously empty (judgments_scan_files all zero through r4's
+    // artifact) — with 32 listing fetches per round the judgments table
+    // accrues real deltas and rides the same compaction cadence as seen/docs.
     val synthCfg = SynthConfig(
-      courts = 4, queriesPerCourt = 8, pagesPerQuery = 4,
-      rowsPerPage = math.max(1, (nPerRound * rounds) / (4 * 8 * 4)), failRate = 0.0)
+      courts = 4, queriesPerCourt = 8, pagesPerQuery = math.max(4, rounds),
+      rowsPerPage = math.max(1, nPerRound / (4 * 8)), failRate = 0.0)
+    def listings(page: Int) =
+      graft.sources.Synth.listingEntries(synthCfg, page).toDS().toDF()
+        .withColumn("canonical_url", graft.functions.Urls.canonicalize($"url"))
+        .withColumn("url_hash", graft.functions.Urls.urlHash($"canonical_url"))
+        .select(spark.emptyDataset[graft.model.FrontierEntry].columns.map(col): _*)
+        .as[graft.model.FrontierEntry]
     val cfg = CrawlConfig(
       budgetPerHost = Int.MaxValue / 2, maxRetries = 3,
       numPartitions = cpus * 4, saltMax = 64)
     val workDir = java.nio.file.Files.createTempDirectory(tmpRoot, s"graft-growth-$cpus").toString
-    // warmup round in a scratch dir (JIT/codegen, untimed)
+    // warmup round in a scratch dir (JIT/codegen, untimed; listings included
+    // so the listing-parse + judgments-write path is warm too)
     val warmDir = java.nio.file.Files.createTempDirectory(tmpRoot, "graft-growth-warm").toString
-    Crawler.runRound(spark, cfg, synthCfg, warmDir, 1, megaFrontier(spark, synthCfg, 4096, cpus))
+    Crawler.runRound(spark, cfg, synthCfg, warmDir, 1,
+      megaFrontier(spark, synthCfg, 4096, cpus).union(listings(1)))
     // frontier slices enter each round from parquet (see crawlBench note);
     // per-round slices prune on the priority column's min/max stats
     val frontierPath = s"$workDir/frontier_input"
     megaFrontier(spark, synthCfg, nPerRound * rounds, cpus)
       .write.parquet(frontierPath)
-    val all = {
-      import spark.implicits._
-      spark.read.parquet(frontierPath).as[graft.model.FrontierEntry]
-    }
+    val all = spark.read.parquet(frontierPath).as[graft.model.FrontierEntry]
     val out = (1 to rounds).map { r =>
       val slice = all.filter(col("priority") >= (r - 1).toLong * nPerRound &&
-        col("priority") < r.toLong * nPerRound)
+        col("priority") < r.toLong * nPerRound).union(listings(r))
       val t0 = System.nanoTime()
       Crawler.runRound(spark, cfg, synthCfg, workDir, r, slice)
       val secs = (System.nanoTime() - t0) / 1e9

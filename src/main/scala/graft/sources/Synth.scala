@@ -670,13 +670,18 @@ object Synth {
   }
 
   /** Seed frontier: page-1 listing URL per (court, query). */
-  def seedEntries(cfg: SynthConfig): Seq[FrontierEntry] =
+  def seedEntries(cfg: SynthConfig): Seq[FrontierEntry] = listingEntries(cfg, 1)
+
+  /** One listing URL per (court, query) at the given page — `url_hash`/
+    * canonical fields left for the caller's canonicalize/hash pass, exactly
+    * like the crawl seeds (`Crawler.run`). */
+  def listingEntries(cfg: SynthConfig, page: Int): Seq[FrontierEntry] =
     for {
       c <- 0 until cfg.courts
       q <- 0 until cfg.queriesPerCourt
     } yield {
-      val u = listingUrl(c, q, 1)
-      FrontierEntry(u, u, 0L, courtHost(c), courtName(c), queryOf(cfg, q), 1, 0,
-        priorityOf(c, q, 1, 0, 0), "pending", 0, 0)
+      val u = listingUrl(c, q, page)
+      FrontierEntry(u, u, 0L, courtHost(c), courtName(c), queryOf(cfg, q), page, 0,
+        priorityOf(c, q, page, 0, 0), "pending", 0, 0)
     }
 }

@@ -20,6 +20,45 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Row-group count per parquet file, cached per path (footer metadata only
+    * — never row data). Parquet scans parallelize at row-group grain, so this
+    * is the file's TRUE scan parallelism no matter what the split config
+    * says. */
+  private val rowGroupCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def parquetRowGroups(spark: SparkSession, path: String): Int =
+    rowGroupCounts.computeIfAbsent(path, (p: String) =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Integer.valueOf(r.getRowGroups.size()) finally r.close()
+      } catch { case _: Throwable => Integer.valueOf(Int.MaxValue) }
+    ).intValue
+
+  /** Read a base table and, ONLY when its file is parallelism-degenerate
+    * (fewer row groups than half the executor threads — e.g. the sf test
+    * files, which are written as ONE row group, so every downstream
+    * map-side stage would run on one core), hash-repartition it by `keys`
+    * right after the read — guide §2.5's "one huge unsplittable file →
+    * repartition immediately after the read". Scale-adaptive by
+    * construction: a production-sized table has thousands of row groups,
+    * the condition is false, and this is a zero-cost pass-through — the
+    * spread exchange is never paid where the scan itself parallelizes.
+    * `keys` are chosen per query as (a subset of) the first aggregation/join
+    * keys so the spread exchange SATISFIES the downstream distribution
+    * requirement (ClusteredDistribution accepts a subset) instead of adding
+    * a second one. */
+  private def tSpread(spark: SparkSession, dir: String, name: String, keys: Column*): DataFrame = {
+    val df = t(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    // explicit width (= executor threads, never a literal): AQE's
+    // parallelism-first coalescing otherwise folds the few-MB sf-scale
+    // exchange back to 2-6 partitions and re-serializes the downstream
+    // aggregation it exists to widen
+    if (parquetRowGroups(spark, s"$dir/$name.parquet") * 2 <= p) df.repartition(p, keys: _*)
+    else df
+  }
+
   /** Synthetic interleaved-span docs (the input-hint shape) — deterministic,
     * derived per-row from Synth arithmetic; used by span/crawl operators.
     * [[writeSynthInputs]] persists the SAME docs to [[SynthDocsPath]] so the
@@ -62,7 +101,12 @@ object SparkEntry {
 
     // ---- A4 / aggregation family ----
     "q_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      // spread key l_orderkey ⊂ the distinct-rewrite's first grouping
+      // (l_returnflag, l_linestatus, l_orderkey), so the spread exchange
+      // replaces the aggregate's own — same exchange count, but the heavy
+      // decimal partial aggregation runs at full width instead of inside the
+      // single-row-group scan task (measured 2.9 s single-threaded there)
+      tSpread(s, dir, "lineitem", col("l_orderkey"))
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -76,7 +120,10 @@ object SparkEntry {
     }),
 
     "q_stats_rollup" -> ((s, dir) => {
-      t(s, dir, "orders")
+      // spread by o_custkey: Expand discards partitioning anyway, but the
+      // ×3 expand + partial aggregation then runs at full width instead of
+      // inside the one-row-group scan task (measured 0.7 s single-threaded)
+      tSpread(s, dir, "orders", col("o_custkey"))
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -95,7 +142,10 @@ object SparkEntry {
 
     // ---- joins (broadcast-able dims; D1 anti/semi shapes) ----
     "q_top_revenue" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // both joins are broadcast (dims hinted/small), so the whole
+      // probe+partial-agg pipeline rides the lineitem scan's parallelism —
+      // 1 task on the one-row-group sf file (measured 1.3 s there)
+      val li = tSpread(s, dir, "lineitem", col("l_orderkey"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -322,6 +372,9 @@ object SparkEntry {
     // between modes and q_sketch_invariance pins the default mode). ----
     "q_minhash_candidates" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+      // (a doc_id tSpread of the sig input was A/B'd and reverted: the sig
+      // pass over sf-scale documents is ~0.3 s single-task, and the extra
+      // exchange + stage latency measured a net wash-to-loss)
       val pairs = Similarity.minhashNearDupPairs(d, "doc_id", "text",
         shingleK = 3, numHashes = 32, bands = 16, threshold = 0.25, portable = true)
       // per-doc candidate count (left join keeps all docs → rows>0 always)

@@ -38,6 +38,14 @@ object Similarity {
       .withColumn("sig", minhashSignature(col("text"), shingleK, numHashes, portable))
       .withColumn("bk", lshBandKeys(col("sig"), bands, rowsPerBand, portable))
       .select(col("id"), col("sig"), posexplode(col("bk")).as(Seq("band", "key")))
+      // One signature pass, not two: a plain self-join duplicates the whole
+      // sketch subtree (each side — or the broadcast build — re-tokenizes and
+      // re-hashes every document). Repartitioning by the join key makes both
+      // sides identical Exchange subtrees, which ReuseExchange collapses to a
+      // single physical shuffle: the corpus-wide signature computation — the
+      // expensive map pass at scale — executes exactly once (guide §2.4
+      // "two operations keyed the same way share one exchange").
+      .repartition(col("band"), col("key"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("key"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
